@@ -1,0 +1,425 @@
+"""DSTAGNN model family — functional JAX re-design.
+
+Architecture (reference: model/DSTAGNN_my.py:199-297): a stack of ST blocks,
+each = temporal embedding → temporal multi-head attention with score
+residuals → 1×F "pre conv" down to d_model → spatial embedding → spatial
+attention scores → attention-modulated K-order Chebyshev graph conv →
+3/5/7-kernel gated temporal convs → linear time-fusion → residual + LayerNorm;
+block outputs are concatenated along time and funnelled through a final conv +
+linear head to the prediction horizon.
+
+Design differences from the reference (all documented, none change the
+working PEMS-path semantics):
+  * pure functions over parameter pytrees; the whole forward jit-compiles as
+    one XLA program (no Python-level T×K loops — see ops/cheb.py);
+  * the multichannel residual-shape defect (reference :247-252 crashes when
+    in_channels != nb_time_filter, e.g. the GAMBIA config) is fixed by routing
+    through residual_conv whenever channel counts differ;
+  * later blocks' token-width parameter equals the actual incoming feature
+    count (nb_time_filter) instead of the reference's
+    ``num_of_d * nb_time_filter`` (:262) which crashes for in_channels > 1;
+    identical for the in_channels == 1 datasets the reference actually runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dstagnn_drought_tpu.ops.attention import (
+    spatial_attention_scores,
+    temporal_attention,
+)
+from dstagnn_drought_tpu.ops.cheb import cheb_conv_with_sat
+from dstagnn_drought_tpu.ops.gtu import conv2d_nchw, gtu
+from dstagnn_drought_tpu.ops.graph import cheb_polynomials, scaled_laplacian
+from dstagnn_drought_tpu.ops.nn import dropout, layer_norm
+from dstagnn_drought_tpu.models import layers as L
+
+Params = Any  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static (hashable) model hyperparameters — safe to close over in jit."""
+
+    num_of_vertices: int
+    len_input: int
+    num_for_predict: int
+    num_of_d: int  # input feature count (reference: in_channels doubles as num_of_d)
+    nb_block: int = 4
+    in_channels: int = 1
+    K: int = 3
+    nb_chev_filter: int = 32
+    nb_time_filter: int = 32
+    time_strides: int = 1
+    d_model: int = 512
+    d_k: int = 32
+    d_v: int = -1
+    n_heads: int = 3
+    dropout_rate: float = 0.05
+
+    def __post_init__(self):
+        if self.d_v < 0:
+            object.__setattr__(self, "d_v", self.d_k)
+
+    @property
+    def block_specs(self):
+        """(num_of_d, in_channels) per block: block 1 consumes the raw input,
+        later blocks consume (B, N, nb_time_filter, T)."""
+        first = (self.num_of_d, self.in_channels)
+        rest = (self.nb_time_filter, self.nb_chev_filter)
+        return [first] + [rest] * (self.nb_block - 1)
+
+    @classmethod
+    def from_config(cls, cfg) -> "ModelSpec":
+        t, d = cfg.training, cfg.data
+        return cls(
+            num_of_vertices=d.num_of_vertices,
+            len_input=d.len_input,
+            num_for_predict=d.num_for_predict,
+            num_of_d=t.in_channels,
+            nb_block=t.nb_block,
+            in_channels=t.in_channels,
+            K=t.K,
+            nb_chev_filter=t.nb_chev_filter,
+            nb_time_filter=t.nb_time_filter,
+            time_strides=t.time_strides,
+            d_model=t.d_model,
+            d_k=t.d_k,
+            d_v=t.d_v,
+            n_heads=t.n_heads,
+            dropout_rate=t.dropout,
+        )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int):
+    N, T = spec.num_of_vertices, spec.len_input
+    H, d_k, d_v, K = spec.n_heads, spec.d_k, spec.d_v, spec.K
+    C = spec.nb_time_filter
+    p = {}
+    p["embed_t"] = {
+        **L.embedding_params(kg, T, N),
+        **{f"ln_{k}": v for k, v in L.layer_norm_params(kg, N).items()},
+    }
+    p["tat"] = {
+        "wq": L.linear_params(kg, N, d_k * H, bias=False)["w"],
+        "wk": L.linear_params(kg, N, d_k * H, bias=False)["w"],
+        "wv": L.linear_params(kg, N, d_v * H, bias=False)["w"],
+        "wo": L.linear_params(kg, H * d_v, N, bias=False)["w"],
+        **{f"ln_{k}": v for k, v in L.layer_norm_params(kg, N).items()},
+    }
+    # (d_model, T, 1, num_of_d) — torch Conv2d(T→d_model, kernel (1, F)) layout
+    p["pre_conv"] = L.conv2d_params(kg, spec.d_model, T, 1, num_of_d)
+    p["embed_s"] = {
+        **L.embedding_params(kg, N, spec.d_model),
+        **{f"ln_{k}": v for k, v in L.layer_norm_params(kg, spec.d_model).items()},
+    }
+    p["sat"] = {
+        "wq": L.linear_params(kg, spec.d_model, d_k * K, bias=False)["w"],
+        "wk": L.linear_params(kg, spec.d_model, d_k * K, bias=False)["w"],
+    }
+    p["cheb"] = {
+        "thetas": jnp.stack(
+            [L.xavier_uniform(kg(), (in_channels, spec.nb_chev_filter)) for _ in range(K)]
+        ),
+        "masks": jnp.stack([L.xavier_uniform(kg(), (N, N)) for _ in range(K)]),
+    }
+    for ksz in (3, 5, 7):
+        p[f"gtu{ksz}"] = L.conv2d_params(kg, 2 * C, C, 1, ksz)
+    p["fcmy"] = L.linear_params(kg, 3 * T - 12, T)
+    p["residual_conv"] = L.conv2d_params(kg, C, in_channels, 1, 1)
+    p["ln"] = L.layer_norm_params(kg, C)
+    return p
+
+
+def init_params(key: jax.Array, spec: ModelSpec) -> Params:
+    kg = L.KeyGen(key)
+    blocks = [
+        _init_block(kg, spec, nd, ic) for nd, ic in spec.block_specs
+    ]
+    T_cat = (spec.len_input // spec.time_strides) * spec.nb_block
+    return {
+        "blocks": blocks,
+        "final_conv": L.conv2d_params(kg, 128, T_cat, 1, spec.nb_time_filter),
+        "final_fc": L.linear_params(kg, 128, spec.num_for_predict),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _block_apply(
+    p: Params,
+    x: jax.Array,
+    res_att,
+    *,
+    spec: ModelSpec,
+    adj_pa: jax.Array,
+    cheb_polys: jax.Array,
+    deterministic: bool,
+    rng: jax.Array | None,
+    use_pallas: bool = False,
+):
+    B, N, F, T = x.shape
+    if F == 1:
+        # EmbedT (reference :227-228,172-176): permute to (B,F,T,N), add the
+        # full positional table, LayerNorm over N.
+        te = x.transpose(0, 2, 3, 1) + p["embed_t"]["pos"][None, None]
+        TEmx = layer_norm(te, p["embed_t"]["ln_scale"], p["embed_t"]["ln_bias"])
+    else:
+        TEmx = x.transpose(0, 2, 3, 1)  # (B, F, T, N), no embedding (:229-230)
+
+    # Score-residual threading: broadcastable shapes add directly (reference
+    # :37). When the feature-axis width changes between blocks (only possible
+    # on the fixed multichannel path, in_channels ∉ {1, nb_time_filter}),
+    # reduce the incoming scores over that axis — the reference crashes here.
+    if (
+        isinstance(res_att, jax.Array)
+        and res_att.ndim == 5
+        and res_att.shape[1] not in (1, F)
+    ):
+        res_att = res_att.mean(axis=1, keepdims=True)
+
+    TATout, re_at = temporal_attention(
+        TEmx,
+        res_att,
+        wq=p["tat"]["wq"],
+        wk=p["tat"]["wk"],
+        wv=p["tat"]["wv"],
+        wo=p["tat"]["wo"],
+        ln_scale=p["tat"]["ln_scale"],
+        ln_bias=p["tat"]["ln_bias"],
+        n_heads=spec.n_heads,
+        d_k=spec.d_k,
+        d_v=spec.d_v,
+    )
+
+    # pre_conv (reference :232, :207): Conv2d(T→d_model, kernel (1,F)) on
+    # (B,T,N,F) — a per-node linear map over (T,F), expressed as an einsum.
+    x_tat = (
+        jnp.einsum("bftn,dtf->bnd", TATout, p["pre_conv"]["w"][:, :, 0, :])
+        + p["pre_conv"]["b"]
+    )
+
+    se = x_tat + p["embed_s"]["pos"][None]
+    SEmx = layer_norm(se, p["embed_s"]["ln_scale"], p["embed_s"]["ln_bias"])
+    if rng is not None:
+        rng, k1, k2 = jax.random.split(rng, 3)
+    else:
+        k1 = k2 = None
+    SEmx = dropout(SEmx, spec.dropout_rate, k1, deterministic)
+
+    STAt = spatial_attention_scores(
+        SEmx, wq=p["sat"]["wq"], wk=p["sat"]["wk"], n_heads=spec.K, d_k=spec.d_k
+    )
+
+    if use_pallas:
+        from dstagnn_drought_tpu.ops.pallas.cheb_sat import cheb_conv_with_sat_pallas
+
+        spatial_gcn = cheb_conv_with_sat_pallas(
+            x, STAt, adj_pa,
+            cheb_polys=cheb_polys,
+            masks=p["cheb"]["masks"],
+            thetas=p["cheb"]["thetas"],
+        )
+    else:
+        spatial_gcn = cheb_conv_with_sat(
+            x, STAt, adj_pa,
+            cheb_polys=cheb_polys,
+            masks=p["cheb"]["masks"],
+            thetas=p["cheb"]["thetas"],
+        )  # (B, N, C, T)
+
+    X = spatial_gcn.transpose(0, 2, 1, 3)  # (B, C, N, T)
+    g = [
+        gtu(X, p[f"gtu{k}"]["w"], p[f"gtu{k}"]["b"],
+            in_channels=spec.nb_time_filter, time_strides=spec.time_strides)
+        for k in (3, 5, 7)
+    ]
+    time_conv = jnp.concatenate(g, axis=-1)  # (B, C, N, 3T-12)
+    time_conv = jnp.einsum("bcnm,mt->bcnt", time_conv, p["fcmy"]["w"]) + p["fcmy"]["b"]
+    time_conv = dropout(time_conv, spec.dropout_rate, k2, deterministic)
+
+    if F == 1:
+        time_conv_output = jax.nn.relu(time_conv)
+    else:
+        time_conv_output = jax.nn.relu(X + time_conv)
+
+    if F == spec.nb_time_filter:
+        x_residual = x.transpose(0, 2, 1, 3)  # identity residual (:251)
+    else:
+        # F == 1 reference path (:249); also the documented fix for the
+        # reference's multichannel residual-shape defect (:247-252).
+        x_residual = conv2d_nchw(
+            x.transpose(0, 2, 1, 3),
+            p["residual_conv"]["w"],
+            p["residual_conv"]["b"],
+            stride=(1, spec.time_strides),
+        )
+
+    y = jax.nn.relu(x_residual + time_conv_output)  # (B, C, N, T)
+    y = layer_norm(y.transpose(0, 3, 2, 1), p["ln"]["scale"], p["ln"]["bias"])
+    return y.transpose(0, 2, 3, 1), re_at  # (B, N, C, T)
+
+
+def apply(
+    params: Params,
+    x: jax.Array,
+    *,
+    spec: ModelSpec,
+    adj_pa: jax.Array,
+    cheb_polys: jax.Array,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict)."""
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+        adj_pa = adj_pa.astype(compute_dtype)
+        cheb_polys = cheb_polys.astype(compute_dtype)
+
+    res_att = jnp.zeros((), dtype=x.dtype)
+    outs = []
+    for i, bp in enumerate(params["blocks"]):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        x, res_att = _block_apply(
+            bp, x, res_att,
+            spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
+            deterministic=deterministic, rng=sub, use_pallas=use_pallas,
+        )
+        outs.append(x)
+
+    final_x = jnp.concatenate(outs, axis=-1)  # (B, N, C, T*nb_block)
+    # final_conv (reference :266, :278): Conv2d(T·nb→128, kernel (1,C)).
+    out1 = (
+        jnp.einsum("bnct,dtc->bnd", final_x, params["final_conv"]["w"][:, :, 0, :])
+        + params["final_conv"]["b"]
+    )
+    out = out1 @ params["final_fc"]["w"] + params["final_fc"]["b"]
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# factory
+# ---------------------------------------------------------------------------
+
+def make_model(
+    key: jax.Array,
+    spec: ModelSpec,
+    adj_merge: np.ndarray | jax.Array,
+    adj_pa: np.ndarray | jax.Array,
+):
+    """Build (params, constants) like the reference ``make_model``
+    (model/DSTAGNN_my.py:282-297): scaled Laplacian of the merged graph →
+    K Chebyshev polynomials as device constants → initialized params."""
+    L_tilde = scaled_laplacian(jnp.asarray(adj_merge, jnp.float32))
+    polys = cheb_polynomials(L_tilde, spec.K)
+    params = init_params(key, spec)
+    constants = {
+        "cheb_polys": polys,
+        "adj_pa": jnp.asarray(adj_pa, jnp.float32),
+    }
+    return params, constants
+
+
+# ---------------------------------------------------------------------------
+# torch weight import (parity harness)
+# ---------------------------------------------------------------------------
+
+def import_torch_state_dict(state_dict, spec: ModelSpec) -> Params:
+    """Map a reference ``DSTAGNN_submodule.state_dict()`` onto our pytree.
+
+    Accepts a dict of numpy arrays or torch tensors. Used by the parity tests
+    to inject identical weights into both implementations.
+    """
+
+    def arr(name):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(v), jnp.float32)
+
+    blocks = []
+    for i in range(spec.nb_block):
+        pre = f"BlockList.{i}."
+        b = {
+            "embed_t": {
+                "pos": arr(pre + "EmbedT.pos_embed.weight"),
+                "ln_scale": arr(pre + "EmbedT.norm.weight"),
+                "ln_bias": arr(pre + "EmbedT.norm.bias"),
+            },
+            "tat": {
+                "wq": arr(pre + "TAt.W_Q.weight").T,
+                "wk": arr(pre + "TAt.W_K.weight").T,
+                "wv": arr(pre + "TAt.W_V.weight").T,
+                "wo": arr(pre + "TAt.fc.weight").T,
+                "ln_scale": arr(pre + "TAt.layer_norm.weight"),
+                "ln_bias": arr(pre + "TAt.layer_norm.bias"),
+            },
+            "pre_conv": {
+                "w": arr(pre + "pre_conv.weight"),
+                "b": arr(pre + "pre_conv.bias"),
+            },
+            "embed_s": {
+                "pos": arr(pre + "EmbedS.pos_embed.weight"),
+                "ln_scale": arr(pre + "EmbedS.norm.weight"),
+                "ln_bias": arr(pre + "EmbedS.norm.bias"),
+            },
+            "sat": {
+                "wq": arr(pre + "SAt.W_Q.weight").T,
+                "wk": arr(pre + "SAt.W_K.weight").T,
+            },
+            "cheb": {
+                "thetas": jnp.stack(
+                    [arr(pre + f"cheb_conv_SAt.Theta.{k}") for k in range(spec.K)]
+                ),
+                "masks": jnp.stack(
+                    [arr(pre + f"cheb_conv_SAt.mask.{k}") for k in range(spec.K)]
+                ),
+            },
+            "fcmy": {
+                "w": arr(pre + "fcmy.0.weight").T,
+                "b": arr(pre + "fcmy.0.bias"),
+            },
+            "residual_conv": {
+                "w": arr(pre + "residual_conv.weight"),
+                "b": arr(pre + "residual_conv.bias"),
+            },
+            "ln": {
+                "scale": arr(pre + "ln.weight"),
+                "bias": arr(pre + "ln.bias"),
+            },
+        }
+        for ksz in (3, 5, 7):
+            b[f"gtu{ksz}"] = {
+                "w": arr(pre + f"gtu{ksz}.con2out.weight"),
+                "b": arr(pre + f"gtu{ksz}.con2out.bias"),
+            }
+        blocks.append(b)
+
+    return {
+        "blocks": blocks,
+        "final_conv": {
+            "w": arr("final_conv.weight"),
+            "b": arr("final_conv.bias"),
+        },
+        "final_fc": {
+            "w": arr("final_fc.weight").T,
+            "b": arr("final_fc.bias"),
+        },
+    }

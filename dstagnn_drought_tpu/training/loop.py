@@ -1,0 +1,231 @@
+"""The trainer: end-to-end training with validation, best-checkpointing,
+true resume, NaN abort, and final per-horizon test report.
+
+Mirrors the reference run shape (train_DSTAGNN_my.py:141-191): epoch loop →
+shuffled train batches → full validation → save best-val checkpoint →
+reload best for the final test; with the defects fixed (real resume that
+restores params/opt-state/epoch; no per-batch host syncs; sharded sampling
+under data parallelism).
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dstagnn_drought_tpu.config import Config
+from dstagnn_drought_tpu.data.adjacency import (
+    edge_list_adjacency,
+    load_dense_adjacency,
+    load_stag_adjacency,
+    load_strg_adjacency,
+)
+from dstagnn_drought_tpu.data.dataset import ArrayDataset, load_windowed_dataset
+from dstagnn_drought_tpu.models.dstagnn import ModelSpec, make_model
+from dstagnn_drought_tpu.training import checkpoint as ckpt
+from dstagnn_drought_tpu.training.logger import MetricLogger
+from dstagnn_drought_tpu.training.metrics import horizon_report
+from dstagnn_drought_tpu.training.step import (
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+PEMS_DATASETS = ("PEMS04", "PEMS08", "PEMS07", "PEMS03")
+
+
+def load_graphs(cfg: Config):
+    """Adjacency loading policy of the reference (train_DSTAGNN_my.py:63-82)."""
+    d = cfg.data
+    if d.dataset_name in PEMS_DATASETS:
+        adj_mx = edge_list_adjacency(d.adj_filename, d.num_of_vertices, d.id_filename)
+    else:
+        adj_mx = load_dense_adjacency(d.adj_filename, d.num_of_vertices)
+    adj_tmd = load_stag_adjacency(d.stag_filename, d.num_of_vertices)
+    adj_pa = load_strg_adjacency(d.strg_filename)
+    adj_merge = adj_mx if cfg.training.graph == "G" else adj_tmd
+    return np.asarray(adj_merge, np.float32), np.asarray(adj_pa, np.float32)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset: Optional[ArrayDataset] = None,
+        adj_merge: Optional[np.ndarray] = None,
+        adj_pa: Optional[np.ndarray] = None,
+        mesh=None,
+        experiments_root: str = "myexperiments",
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.cfg = cfg
+        t = cfg.training
+        self.spec = ModelSpec.from_config(cfg)
+        self.mesh = mesh
+
+        if dataset is None:
+            dataset = load_windowed_dataset(
+                cfg.data.graph_signal_matrix_filename,
+                t.num_of_hours, t.num_of_days, t.num_of_weeks,
+            )
+        self.dataset = dataset
+        if adj_merge is None or adj_pa is None:
+            adj_merge, adj_pa = load_graphs(cfg)
+
+        key = jax.random.PRNGKey(t.seed)
+        key, init_key = jax.random.split(key)
+        self.params, self.constants = make_model(init_key, self.spec, adj_merge, adj_pa)
+        self.optimizer = make_optimizer(t.learning_rate)
+        self.opt_state = self.optimizer.init(self.params)
+        self.rng = key
+
+        compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else jnp.float32
+        step_kw = dict(
+            compute_dtype=compute_dtype,
+            use_pallas=t.use_pallas,
+            mesh=mesh,
+            shard_nodes=t.graph_axis > 1 if mesh is not None else False,
+        )
+        self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
+        self.eval_step = make_eval_step(self.spec, **step_kw)
+
+        self.run_dir = ckpt.run_dir(
+            experiments_root, cfg.data.dataset_name, t.model_name,
+            t.num_of_hours, t.num_of_days, t.num_of_weeks,
+            t.in_channels, t.learning_rate,
+        )
+        self.logger = logger or MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
+        self.best_val = math.inf
+        self.best_epoch = -1
+        self.epoch = t.start_epoch
+
+        # device-resident splits
+        self._device_splits = {}
+        for name in ("train", "val", "test"):
+            split = getattr(dataset, name)
+            self._device_splits[name] = (
+                jax.device_put(split.x), jax.device_put(split.target)
+            )
+
+    # ------------------------------------------------------------------
+    def resume(self) -> bool:
+        """True resume from the latest checkpoint in the run dir (fixes the
+        reference's cosmetic start_epoch, SURVEY.md §5)."""
+        latest = ckpt.latest_checkpoint(self.run_dir)
+        if latest is None:
+            return False
+        params, opt_state, rng, meta = ckpt.restore_checkpoint(
+            latest, params_template=self.params, opt_state_template=self.opt_state
+        )
+        self.params = jax.device_put(params)
+        if opt_state is not None:
+            self.opt_state = jax.device_put(opt_state)
+        if rng is not None:
+            self.rng = rng
+        self.epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val = float(meta.get("best_val", math.inf))
+        self.best_epoch = int(meta.get("best_epoch", -1))
+        self.logger.log("resume", epoch=self.epoch, checkpoint=latest)
+        return True
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> float:
+        t = self.cfg.training
+        x_full, y_full = self._device_splits["train"]
+        idx, _ = self.dataset.batch_indices(
+            "train", t.batch_size, shuffle=True, seed=t.seed * 100003 + epoch
+        )
+        losses = []
+        for b in range(idx.shape[0]):
+            self.params, self.opt_state, self.rng, loss = self.train_step(
+                self.params, self.opt_state, self.rng,
+                x_full, y_full, jnp.asarray(idx[b]), self.constants,
+            )
+            losses.append(loss)  # stays on device; read after the epoch
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        if math.isnan(mean_loss):
+            raise FloatingPointError(
+                f"NaN training loss at epoch {epoch} — aborting (last good "
+                f"checkpoint: epoch_{self.best_epoch})"
+            )
+        return mean_loss
+
+    def evaluate(self, split: str) -> tuple[np.ndarray, float]:
+        """Predictions (true length) and mean loss over a split."""
+        t = self.cfg.training
+        x_full, y_full = self._device_splits[split]
+        idx, n_valid = self.dataset.batch_indices(
+            split, t.batch_size, shuffle=False
+        )
+        preds, losses = [], []
+        for b in range(idx.shape[0]):
+            pred, loss = self.eval_step(
+                self.params, x_full, y_full, jnp.asarray(idx[b]), self.constants
+            )
+            preds.append(pred)
+            losses.append(loss)
+        pred = np.concatenate([np.asarray(p) for p in preds], axis=0)[:n_valid]
+        return pred, float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------------
+    def run(self, epochs: Optional[int] = None) -> dict:
+        t = self.cfg.training
+        end_epoch = epochs if epochs is not None else t.epochs
+        import time as _time
+
+        while self.epoch < end_epoch:
+            e = self.epoch
+            t0 = _time.time()
+            train_loss = self.train_epoch(e)
+            _, val_loss = self.evaluate("val")
+            dt = _time.time() - t0
+            self.logger.log(
+                "epoch", epoch=e, train_loss=train_loss, val_loss=val_loss,
+                seconds=round(dt, 2),
+            )
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+                self.best_epoch = e
+                ckpt.save_checkpoint(
+                    self.run_dir, e,
+                    params=self.params, opt_state=self.opt_state, rng=self.rng,
+                    metadata={"best_val": self.best_val, "best_epoch": e,
+                              "val_loss": val_loss},
+                )
+            elif t.checkpoint_every and (e + 1) % t.checkpoint_every == 0:
+                ckpt.save_checkpoint(
+                    self.run_dir, e,
+                    params=self.params, opt_state=self.opt_state, rng=self.rng,
+                    metadata={"best_val": self.best_val,
+                              "best_epoch": self.best_epoch},
+                )
+            self.epoch += 1
+
+        return self.final_test()
+
+    def final_test(self) -> dict:
+        # reload best params (reference train:183-191)
+        if self.best_epoch >= 0:
+            best = os.path.join(self.run_dir, f"epoch_{self.best_epoch}.params.npz")
+            if os.path.exists(best):
+                self.params, _, _, _ = ckpt.restore_checkpoint(
+                    best, params_template=self.params
+                )
+                self.params = jax.device_put(self.params)
+        pred, test_loss = self.evaluate("test")
+        report = horizon_report(self.dataset.test.target, pred, null_val=0)
+        self.logger.log(
+            "test", loss=test_loss, best_epoch=self.best_epoch,
+            mae=report["overall"]["mae"], rmse=report["overall"]["rmse"],
+            mape=report["overall"]["mape"],
+        )
+        np.savez(
+            os.path.join(self.run_dir, f"output_epoch_{self.best_epoch}_test.npz"),
+            prediction=pred, data_target_tensor=self.dataset.test.target,
+        )
+        return {"test_loss": test_loss, "report": report,
+                "best_epoch": self.best_epoch, "best_val": self.best_val}

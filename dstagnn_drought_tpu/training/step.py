@@ -1,0 +1,103 @@
+"""Jitted train / eval steps.
+
+The reference's hot loop syncs with the host every batch (``loss.item()``,
+prints, a spurious pre-step ``optimizer_step(barrier=True)`` — reference
+train_DSTAGNN_my.py:147-162, a known anti-pattern). Here one jit-compiled
+function does gather-batch → forward → Huber loss → backward → Adam update
+entirely on device, with donated buffers; losses stay on device and are only
+read at epoch boundaries.
+
+Criterion: SmoothL1 (Huber, beta=1) like the reference (train:132).
+Optimizer: Adam with torch-default betas/eps (train:133 / optax.adam).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dstagnn_drought_tpu.models.dstagnn import ModelSpec, apply
+from dstagnn_drought_tpu.ops.nn import smooth_l1_loss
+from dstagnn_drought_tpu.parallel.sharding import constrain_batch
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_train_step(
+    spec: ModelSpec,
+    optimizer: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    mesh=None,
+    shard_nodes: bool = True,
+):
+    """Returns step(params, opt_state, rng, x_full, y_full, idx) →
+    (params, opt_state, rng, loss). x_full/y_full are the device-resident
+    split arrays; idx is the (B,) batch index vector."""
+
+    def loss_fn(params, x, y, rng, constants):
+        pred = apply(
+            params, x,
+            spec=spec,
+            adj_pa=constants["adj_pa"],
+            cheb_polys=constants["cheb_polys"],
+            deterministic=False,
+            rng=rng,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+        return smooth_l1_loss(pred, y)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng, x_full, y_full, idx, constants):
+        x = constrain_batch(x_full[idx], mesh, shard_nodes)
+        y = constrain_batch(y_full[idx], mesh, shard_nodes)
+        rng, sub = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, sub, constants)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return step
+
+
+def make_eval_step(
+    spec: ModelSpec,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    mesh=None,
+    shard_nodes: bool = True,
+):
+    """Returns eval(params, x_full, y_full, idx) → (pred, loss)."""
+
+    @jax.jit
+    def eval_step(params, x_full, y_full, idx, constants):
+        x = constrain_batch(x_full[idx], mesh, shard_nodes)
+        y = y_full[idx]
+        pred = apply(
+            params, x,
+            spec=spec,
+            adj_pa=constants["adj_pa"],
+            cheb_polys=constants["cheb_polys"],
+            deterministic=True,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+        return pred, smooth_l1_loss(pred, y)
+
+    return eval_step
+
+
+def tree_size_bytes(tree: Any) -> int:
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if hasattr(leaf, "size")
+    )
