@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient TPU plugin overrides JAX_PLATFORMS at import time; the config
+# update below is what actually pins the tests to (virtual 8-device) CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: this box has 2 cores and XLA:CPU compiles are
 # the dominant test cost; repeat runs hit the cache.

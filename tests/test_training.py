@@ -1,0 +1,160 @@
+"""Training subsystem: jitted step convergence, checkpoint roundtrip, trainer."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dstagnn_drought_tpu.config import Config, DataConfig, TrainingConfig
+from dstagnn_drought_tpu.data.dataset import ArrayDataset, Split
+from dstagnn_drought_tpu.models.dstagnn import ModelSpec, make_model
+from dstagnn_drought_tpu.training import checkpoint as ckpt
+from dstagnn_drought_tpu.training.loop import Trainer
+from dstagnn_drought_tpu.training.step import (
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+N, T, TP = 12, 12, 4
+SPEC = ModelSpec(
+    num_of_vertices=N, len_input=T, num_for_predict=TP, num_of_d=1,
+    nb_block=2, in_channels=1, K=2, nb_chev_filter=8, nb_time_filter=8,
+    d_model=16, d_k=8, n_heads=2,
+)
+
+
+def graphs(rng):
+    A = (rng.random((N, N)) < 0.4).astype(np.float32)
+    A = np.maximum(A, A.T)
+    np.fill_diagonal(A, 0)
+    A[0, 1] = A[1, 0] = 1
+    pa = (rng.random((N, N)) < 0.3).astype(np.float32)
+    return A, pa
+
+
+def make_toy_dataset(rng, n=48):
+    x = rng.normal(size=(n, N, 1, T)).astype(np.float32)
+    # learnable relation: predict mean of input window
+    y = np.repeat(x.mean(axis=(2, 3), keepdims=False)[:, :, None], TP, axis=2)
+    y = y.astype(np.float32)
+    sp = lambda s: Split(x[s], y[s])
+    return ArrayDataset(
+        train=sp(slice(0, 32)), val=sp(slice(32, 40)), test=sp(slice(40, 48)),
+        mean=np.zeros((1, 1, 1, 1)), std=np.ones((1, 1, 1, 1)),
+    )
+
+
+def test_train_step_reduces_loss(rng):
+    A, pa = graphs(rng)
+    params, consts = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
+    optimizer = make_optimizer(5e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(SPEC, optimizer)
+
+    ds = make_toy_dataset(rng)
+    x_full = jnp.asarray(ds.train.x)
+    y_full = jnp.asarray(ds.train.target)
+    key = jax.random.PRNGKey(1)
+    idx = jnp.arange(16, dtype=jnp.int32)
+
+    losses = []
+    for i in range(20):
+        params, opt_state, key, loss = step(
+            params, opt_state, key, x_full, y_full, idx, consts
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+
+def test_eval_step_deterministic(rng):
+    A, pa = graphs(rng)
+    params, consts = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
+    ds = make_toy_dataset(rng)
+    ev = make_eval_step(SPEC)
+    x_full, y_full = jnp.asarray(ds.val.x), jnp.asarray(ds.val.target)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    p1, l1 = ev(params, x_full, y_full, idx, consts)
+    p2, l2 = ev(params, x_full, y_full, idx, consts)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert float(l1) == float(l2)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    A, pa = graphs(rng)
+    params, _ = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(42)
+
+    path = ckpt.save_checkpoint(
+        str(tmp_path), 7, params=params, opt_state=opt_state, rng=key,
+        metadata={"best_val": 0.5},
+    )
+    params2, opt2, key2, meta = ckpt.restore_checkpoint(
+        path, params_template=params, opt_state_template=opt_state
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(opt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        jax.random.key_data(key), jax.random.key_data(key2)
+    )
+    assert meta == {"epoch": 7, "best_val": 0.5}
+    assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path, rng):
+    A, pa = graphs(rng)
+    params, _ = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
+    path = ckpt.save_checkpoint(str(tmp_path), 0, params=params)
+    other_spec = ModelSpec(
+        num_of_vertices=N, len_input=T, num_for_predict=TP + 1, num_of_d=1,
+        nb_block=2, in_channels=1, K=2, nb_chev_filter=8, nb_time_filter=8,
+        d_model=16, d_k=8, n_heads=2,
+    )
+    other, _ = make_model(jax.random.PRNGKey(0), other_spec, A, pa)
+    with pytest.raises(ValueError, match="shape"):
+        ckpt.restore_checkpoint(path, params_template=other)
+
+
+def _toy_config():
+    return Config(
+        data=DataConfig(num_of_vertices=N, len_input=T, num_for_predict=TP,
+                        dataset_name="TOY"),
+        training=TrainingConfig(
+            in_channels=1, nb_block=2, n_heads=2, K=2, d_k=8, d_model=16,
+            nb_chev_filter=8, nb_time_filter=8, batch_size=16,
+            epochs=2, learning_rate=5e-3,
+        ),
+    ).validate()
+
+
+def test_trainer_end_to_end(tmp_path, rng):
+    A, pa = graphs(rng)
+    trainer = Trainer(
+        _toy_config(), dataset=make_toy_dataset(rng), adj_merge=A, adj_pa=pa,
+        experiments_root=str(tmp_path),
+    )
+    result = trainer.run()
+    assert result["best_epoch"] >= 0
+    assert math.isfinite(result["test_loss"])
+    assert len(result["report"]["per_horizon"]) == TP
+    assert os.path.exists(
+        os.path.join(trainer.run_dir, f"epoch_{result['best_epoch']}.params.npz")
+    )
+    assert os.path.exists(os.path.join(trainer.run_dir, "metrics.jsonl"))
+
+    # true resume: a fresh trainer picks up epoch and best_val
+    t2 = Trainer(
+        _toy_config(), dataset=make_toy_dataset(rng), adj_merge=A, adj_pa=pa,
+        experiments_root=str(tmp_path),
+    )
+    assert t2.resume()
+    assert t2.epoch == result["best_epoch"] + 1
+    assert t2.best_val == pytest.approx(result["best_val"])
