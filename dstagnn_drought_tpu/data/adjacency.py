@@ -48,7 +48,9 @@ def edge_list_adjacency(
 
 
 def _read_dense_csv(path: str) -> np.ndarray:
-    return np.loadtxt(path, delimiter=",", dtype=np.float64)
+    from dstagnn_drought_tpu.data.native import load_dense_csv
+
+    return load_dense_csv(path)
 
 
 def load_stag_adjacency(path: str, num_of_vertices: int | None = None) -> np.ndarray:
