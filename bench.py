@@ -33,7 +33,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
     from dstagnn_drought_tpu.models.dstagnn import ModelSpec, make_model
-    from dstagnn_drought_tpu.training.step import make_optimizer, make_train_step
+    from dstagnn_drought_tpu.training.step import make_optimizer
 
     spec = ModelSpec(
         num_of_vertices=170, len_input=12, num_for_predict=12, num_of_d=1,
@@ -57,25 +57,36 @@ def main():
     x_full = jnp.asarray(rng.normal(size=(n_total, N, 1, 12)), jnp.float32)
     y_full = jnp.asarray(rng.normal(size=(n_total, N, 12)), jnp.float32)
 
-    step = make_train_step(spec, optimizer)
-    key = jax.random.PRNGKey(1)
+    # bfloat16 compute, fp32 params/loss — measured to track the fp32 loss
+    # trajectory to 3 decimals on this model (BENCH_NOTES.md). The whole
+    # epoch (168 steps) runs as ONE lax.scan dispatch, as real training does,
+    # so host/tunnel dispatch latency doesn't pollute the measurement.
+    from dstagnn_drought_tpu.training.step import make_epoch_runner
 
-    def run_step(params, opt_state, key, b):
-        idx = jnp.arange(b * BATCH, (b + 1) * BATCH, dtype=jnp.int32) % n_total
-        return step(params, opt_state, key, x_full, y_full, idx, consts)
+    runner = make_epoch_runner(spec, optimizer, compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(1)
+    steps_per_epoch = -(-PEMS08_TRAIN_SAMPLES // BATCH)
+    idx_plan = jnp.asarray(
+        (np.arange(steps_per_epoch * BATCH) % n_total)
+        .reshape(steps_per_epoch, BATCH)
+        .astype(np.int32)
+    )
 
     # warmup / compile
-    params, opt_state, key, loss = run_step(params, opt_state, key, 0)
-    jax.block_until_ready(loss)
+    params, opt_state, key, losses = runner(
+        params, opt_state, key, x_full, y_full, idx_plan, consts
+    )
+    jax.block_until_ready(losses)
 
-    K = 30
+    EPOCHS = 3
     t0 = time.perf_counter()
-    for b in range(K):
-        params, opt_state, key, loss = run_step(params, opt_state, key, b % 4)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / K
+    for _ in range(EPOCHS):
+        params, opt_state, key, losses = runner(
+            params, opt_state, key, x_full, y_full, idx_plan, consts
+        )
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / (EPOCHS * steps_per_epoch)
 
-    steps_per_epoch = -(-PEMS08_TRAIN_SAMPLES // BATCH)
     epochs_per_hour = 3600.0 / (dt * steps_per_epoch)
     print(
         json.dumps(

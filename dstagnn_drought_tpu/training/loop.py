@@ -30,6 +30,7 @@ from dstagnn_drought_tpu.training import checkpoint as ckpt
 from dstagnn_drought_tpu.training.logger import MetricLogger
 from dstagnn_drought_tpu.training.metrics import horizon_report
 from dstagnn_drought_tpu.training.step import (
+    make_epoch_runner,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -91,6 +92,7 @@ class Trainer:
             shard_nodes=t.graph_axis > 1 if mesh is not None else False,
         )
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
+        self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **step_kw)
         self.eval_step = make_eval_step(self.spec, **step_kw)
 
         self.run_dir = ckpt.run_dir(
@@ -134,19 +136,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> float:
+        """One epoch = ONE device dispatch (lax.scan over the batch plan)."""
         t = self.cfg.training
         x_full, y_full = self._device_splits["train"]
         idx, _ = self.dataset.batch_indices(
             "train", t.batch_size, shuffle=True, seed=t.seed * 100003 + epoch
         )
-        losses = []
-        for b in range(idx.shape[0]):
-            self.params, self.opt_state, self.rng, loss = self.train_step(
-                self.params, self.opt_state, self.rng,
-                x_full, y_full, jnp.asarray(idx[b]), self.constants,
-            )
-            losses.append(loss)  # stays on device; read after the epoch
-        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        self.params, self.opt_state, self.rng, losses = self.epoch_runner(
+            self.params, self.opt_state, self.rng,
+            x_full, y_full, jnp.asarray(idx), self.constants,
+        )
+        mean_loss = float(jnp.mean(losses))
         if math.isnan(mean_loss):
             raise FloatingPointError(
                 f"NaN training loss at epoch {epoch} — aborting (last good "

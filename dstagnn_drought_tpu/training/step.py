@@ -67,6 +67,57 @@ def make_train_step(
     return step
 
 
+def make_epoch_runner(
+    spec: ModelSpec,
+    optimizer: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    mesh=None,
+    shard_nodes: bool = True,
+):
+    """Whole-epoch training as ONE jitted program: ``lax.scan`` over the
+    batch-index plan, carrying (params, opt_state, rng). A single dispatch
+    per epoch — no per-step host round trips at all (the reference syncs
+    with the host every batch, train_DSTAGNN_my.py:147-162).
+
+    Returns run(params, opt_state, rng, x_full, y_full, idx_plan, constants)
+    → (params, opt_state, rng, losses) with losses shaped (num_batches,).
+    """
+
+    def loss_fn(params, x, y, rng, constants):
+        pred = apply(
+            params, x,
+            spec=spec,
+            adj_pa=constants["adj_pa"],
+            cheb_polys=constants["cheb_polys"],
+            deterministic=False,
+            rng=rng,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+        return smooth_l1_loss(pred, y)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, rng, x_full, y_full, idx_plan, constants):
+        def body(carry, idx):
+            params, opt_state, rng = carry
+            x = constrain_batch(x_full[idx], mesh, shard_nodes)
+            y = constrain_batch(y_full[idx], mesh, shard_nodes)
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, sub, constants)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), idx_plan
+        )
+        return params, opt_state, rng, losses
+
+    return run
+
+
 def make_eval_step(
     spec: ModelSpec,
     *,
