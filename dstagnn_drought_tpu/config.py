@@ -64,6 +64,8 @@ class TrainingConfig:
     # --- new-framework knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False        # fused Pallas kernels on the cheb-attention path
+    sparse: bool = False            # O(N·E) ELL edge path for SAt + cheb conv
+    max_degree: int = 0             # sparse: cap on in-degree (0 = graph max)
     data_axis: int = 1              # mesh axis sizes; 1 = single chip
     graph_axis: int = 1
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)

@@ -168,6 +168,7 @@ def _block_apply(
     deterministic: bool,
     rng: jax.Array | None,
     use_pallas: bool = False,
+    ell=None,
 ):
     B, N, F, T = x.shape
     if F == 1:
@@ -218,26 +219,50 @@ def _block_apply(
         k1 = k2 = None
     SEmx = dropout(SEmx, spec.dropout_rate, k1, deterministic)
 
-    STAt = spatial_attention_scores(
-        SEmx, wq=p["sat"]["wq"], wk=p["sat"]["wk"], n_heads=spec.K, d_k=spec.d_k
-    )
-
-    if use_pallas:
-        from dstagnn_drought_tpu.ops.pallas.cheb_sat import cheb_conv_with_sat_pallas
-
-        spatial_gcn = cheb_conv_with_sat_pallas(
-            x, STAt, adj_pa,
-            cheb_polys=cheb_polys,
-            masks=p["cheb"]["masks"],
-            thetas=p["cheb"]["thetas"],
+    if ell is not None:
+        # Sparse scaling path: SDDMM edge scores + neighbourhood softmax
+        # aggregation, O(N·E) instead of the dense O(N²) (ops/sparse.py).
+        from dstagnn_drought_tpu.ops.sparse import (
+            gather_edge_values,
+            sparse_cheb_conv_with_sat,
+            sparse_spatial_attention_scores,
         )
-    else:
-        spatial_gcn = cheb_conv_with_sat(
-            x, STAt, adj_pa,
-            cheb_polys=cheb_polys,
-            masks=p["cheb"]["masks"],
+
+        edge_scores = sparse_spatial_attention_scores(
+            SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+            n_heads=spec.K, d_k=spec.d_k,
+        )
+        STAt = edge_scores  # (B, K, N, E) — the exported attention map
+        bias = adj_pa[None] * p["cheb"]["masks"]
+        spatial_gcn = sparse_cheb_conv_with_sat(
+            x, edge_scores, ell,
+            cheb_edges=gather_edge_values(cheb_polys, ell),
+            bias_edges=gather_edge_values(bias, ell),
             thetas=p["cheb"]["thetas"],
         )  # (B, N, C, T)
+    else:
+        STAt = spatial_attention_scores(
+            SEmx, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+            n_heads=spec.K, d_k=spec.d_k,
+        )
+        if use_pallas:
+            from dstagnn_drought_tpu.ops.pallas.cheb_sat import (
+                cheb_conv_with_sat_pallas,
+            )
+
+            spatial_gcn = cheb_conv_with_sat_pallas(
+                x, STAt, adj_pa,
+                cheb_polys=cheb_polys,
+                masks=p["cheb"]["masks"],
+                thetas=p["cheb"]["thetas"],
+            )
+        else:
+            spatial_gcn = cheb_conv_with_sat(
+                x, STAt, adj_pa,
+                cheb_polys=cheb_polys,
+                masks=p["cheb"]["masks"],
+                thetas=p["cheb"]["thetas"],
+            )  # (B, N, C, T)
 
     X = spatial_gcn.transpose(0, 2, 1, 3)  # (B, C, N, T)
     g = [
@@ -268,7 +293,7 @@ def _block_apply(
 
     y = jax.nn.relu(x_residual + time_conv_output)  # (B, C, N, T)
     y = layer_norm(y.transpose(0, 3, 2, 1), p["ln"]["scale"], p["ln"]["bias"])
-    return y.transpose(0, 2, 3, 1), re_at  # (B, N, C, T)
+    return y.transpose(0, 2, 3, 1), re_at, STAt  # (B, N, C, T)
 
 
 def apply(
@@ -282,8 +307,15 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    ell=None,
+    return_attention: bool = False,
 ) -> jax.Array:
-    """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict)."""
+    """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict).
+
+    ``ell``: optional :class:`~dstagnn_drought_tpu.ops.sparse.EllGraph` —
+    switches every block's spatial attention + Chebyshev conv to the sparse
+    O(N·E) edge path (the aware-graph neighbourhood defines both the score
+    support and the softmax normalization; see ops/sparse.py)."""
     if compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
         x = x.astype(compute_dtype)
@@ -292,17 +324,20 @@ def apply(
 
     res_att = jnp.zeros((), dtype=x.dtype)
     outs = []
+    spatial_maps = []
     for i, bp in enumerate(params["blocks"]):
         if rng is not None:
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        x, res_att = _block_apply(
+        x, res_att, stat = _block_apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
+            ell=ell,
         )
         outs.append(x)
+        spatial_maps.append(stat)
 
     final_x = jnp.concatenate(outs, axis=-1)  # (B, N, C, T*nb_block)
     # final_conv (reference :266, :278): Conv2d(T·nb→128, kernel (1,C)).
@@ -311,7 +346,13 @@ def apply(
         + params["final_conv"]["b"]
     )
     out = out1 @ params["final_fc"]["w"] + params["final_fc"]["b"]
-    return out.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    if return_attention:
+        # per-block raw spatial score maps — dense (B,K,N,N) or edge (B,K,N,E)
+        # in sparse mode. Mirrors the reference's legacy attention export
+        # (lib/utils.py:503,552-589, stale w.r.t. its own model).
+        return out, spatial_maps
+    return out
 
 
 # ---------------------------------------------------------------------------

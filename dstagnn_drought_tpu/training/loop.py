@@ -80,6 +80,14 @@ class Trainer:
         key = jax.random.PRNGKey(t.seed)
         key, init_key = jax.random.split(key)
         self.params, self.constants = make_model(init_key, self.spec, adj_merge, adj_pa)
+        if t.sparse:
+            from dstagnn_drought_tpu.ops.sparse import ell_from_adjacency
+
+            # neighbourhood = support of the (elementwise) Chebyshev stack,
+            # i.e. the merged graph's pattern plus the identity diagonal
+            self.constants["ell"] = ell_from_adjacency(
+                adj_merge, max_degree=t.max_degree or None
+            )
         self.optimizer = make_optimizer(t.learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.rng = key

@@ -51,6 +51,7 @@ def make_train_step(
             rng=rng,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            ell=constants.get("ell"),
         )
         return smooth_l1_loss(pred, y)
 
@@ -95,6 +96,7 @@ def make_epoch_runner(
             rng=rng,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            ell=constants.get("ell"),
         )
         return smooth_l1_loss(pred, y)
 
@@ -140,6 +142,7 @@ def make_eval_step(
             deterministic=True,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            ell=constants.get("ell"),
         )
         return pred, smooth_l1_loss(pred, y)
 
