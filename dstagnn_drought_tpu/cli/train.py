@@ -37,7 +37,18 @@ def main(argv=None):
                         help="bfloat16 compute (params stay fp32)")
     parser.add_argument("--use-pallas", action="store_true",
                         help="fused Pallas kernels on the Chebyshev-attention path")
+    parser.add_argument("--profile", metavar="LOGDIR", default=None,
+                        help="write a jax.profiler trace of the first epoch "
+                             "(view in TensorBoard/Perfetto)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host init (jax.distributed) before mesh "
+                             "construction; auto-detected from coordinator env")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        from dstagnn_drought_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
 
     cfg = load_config(args.config)
     if args.bfloat16:
@@ -58,6 +69,14 @@ def main(argv=None):
     trainer = Trainer(cfg, mesh=mesh, experiments_root=args.experiments_root)
     if args.resume:
         trainer.resume()
+    if args.profile:
+        from dstagnn_drought_tpu.training.profiling import trace
+
+        with trace(args.profile):
+            loss = trainer.train_epoch(trainer.epoch)
+        trainer.logger.log("profile", logdir=args.profile, epoch=trainer.epoch,
+                           train_loss=loss)
+        trainer.epoch += 1
     result = trainer.run(args.epochs)
 
     print(f"\nbest epoch: {result['best_epoch']}  val loss: {result['best_val']:.4f}")

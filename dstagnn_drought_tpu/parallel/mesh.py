@@ -24,6 +24,37 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def maybe_initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host runtime init (the reference's ``xmp.spawn`` analogue at pod
+    scale — reference train_DSTAGNN_my.py:194-197, SURVEY.md §2.3).
+
+    Explicit arguments win; otherwise initialize only when the standard
+    coordinator env vars (JAX_COORDINATOR_ADDRESS / cloud-TPU metadata) are
+    present, so single-host runs never pay the rendezvous. Returns True when
+    ``jax.distributed.initialize`` was called.
+    """
+    import os
+
+    if jax.process_count() > 1:  # already initialized
+        return False
+    explicit = coordinator_address is not None
+    if not explicit and not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def factor_devices(n: int, graph_axis: int | None = None) -> tuple[int, int]:
     """Choose (data, graph) axis sizes for n devices.
 
