@@ -77,9 +77,19 @@ class Trainer:
         if adj_merge is None or adj_pa is None:
             adj_merge, adj_pa = load_graphs(cfg)
 
+        from dstagnn_drought_tpu.models import get_family
+
+        self.family = get_family(t.model_name or "dstagnn")
         key = jax.random.PRNGKey(t.seed)
         key, init_key = jax.random.split(key)
-        self.params, self.constants = make_model(init_key, self.spec, adj_merge, adj_pa)
+        self.params, self.constants = self.family.make_model(
+            init_key, self.spec, adj_merge, adj_pa
+        )
+        if t.sparse and t.model_name != "dstagnn":
+            raise ValueError(
+                f"sparse mode is a dstagnn-family path; got model_name="
+                f"{t.model_name!r}"
+            )
         if t.sparse:
             from dstagnn_drought_tpu.ops.sparse import ell_from_adjacency
 
@@ -98,6 +108,7 @@ class Trainer:
             use_pallas=t.use_pallas,
             mesh=mesh,
             shard_nodes=t.graph_axis > 1 if mesh is not None else False,
+            apply_fn=self.family.apply,
         )
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
         self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **step_kw)

@@ -36,13 +36,14 @@ def make_train_step(
     use_pallas: bool = False,
     mesh=None,
     shard_nodes: bool = True,
+    apply_fn=apply,
 ):
     """Returns step(params, opt_state, rng, x_full, y_full, idx) →
     (params, opt_state, rng, loss). x_full/y_full are the device-resident
     split arrays; idx is the (B,) batch index vector."""
 
     def loss_fn(params, x, y, rng, constants):
-        pred = apply(
+        pred = apply_fn(
             params, x,
             spec=spec,
             adj_pa=constants["adj_pa"],
@@ -76,6 +77,7 @@ def make_epoch_runner(
     use_pallas: bool = False,
     mesh=None,
     shard_nodes: bool = True,
+    apply_fn=apply,
 ):
     """Whole-epoch training as ONE jitted program: ``lax.scan`` over the
     batch-index plan, carrying (params, opt_state, rng). A single dispatch
@@ -87,7 +89,7 @@ def make_epoch_runner(
     """
 
     def loss_fn(params, x, y, rng, constants):
-        pred = apply(
+        pred = apply_fn(
             params, x,
             spec=spec,
             adj_pa=constants["adj_pa"],
@@ -127,6 +129,7 @@ def make_eval_step(
     use_pallas: bool = False,
     mesh=None,
     shard_nodes: bool = True,
+    apply_fn=apply,
 ):
     """Returns eval(params, x_full, y_full, idx) → (pred, loss)."""
 
@@ -134,7 +137,7 @@ def make_eval_step(
     def eval_step(params, x_full, y_full, idx, constants):
         x = constrain_batch(x_full[idx], mesh, shard_nodes)
         y = y_full[idx]
-        pred = apply(
+        pred = apply_fn(
             params, x,
             spec=spec,
             adj_pa=constants["adj_pa"],
