@@ -9,7 +9,7 @@ key. Every family module exposes the same functional surface:
 
 Families: ``dstagnn`` (the flagship, reference model/DSTAGNN_my.py) plus the
 heritage families the reference carries only as pyc remnants (SURVEY.md §2
-C15): ``astgcn``, ``mstgcn``, ``stgcn``.
+C15): ``astgcn``, ``mstgcn``, ``stgcn``, ``transformer``.
 """
 from dstagnn_drought_tpu.models.dstagnn import (  # noqa: F401
     ModelSpec,
@@ -19,7 +19,7 @@ from dstagnn_drought_tpu.models.dstagnn import (  # noqa: F401
     import_torch_state_dict,
 )
 
-_FAMILIES = ("dstagnn", "astgcn", "mstgcn", "stgcn")
+_FAMILIES = ("dstagnn", "astgcn", "mstgcn", "stgcn", "transformer")
 
 
 def get_family(name: str):

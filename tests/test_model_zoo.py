@@ -9,7 +9,7 @@ import pytest
 
 from dstagnn_drought_tpu.models import ModelSpec, get_family
 
-FAMILIES = ["astgcn", "mstgcn", "stgcn"]
+FAMILIES = ["astgcn", "mstgcn", "stgcn", "transformer"]
 
 
 def tiny_spec(N=10, T=12):
@@ -91,7 +91,7 @@ def test_mstgcn_is_astgcn_without_attention(setup):
     assert "tat" not in params["blocks"][0] and "sat" not in params["blocks"][0]
 
 
-@pytest.mark.parametrize("name", ["astgcn", "stgcn"])
+@pytest.mark.parametrize("name", ["astgcn", "stgcn", "transformer"])
 def test_family_trains_through_epoch_runner(name, setup):
     """The shared scan epoch runner trains any family; loss decreases."""
     import optax
