@@ -23,6 +23,13 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="explicit checkpoint; default: latest in run dir")
     parser.add_argument("--experiments-root", default="myexperiments")
+    parser.add_argument("--export-attention", action="store_true",
+                        help="dump per-block spatial attention for one sample "
+                             "(npz + CSV + heatmap PNG; the reference's legacy "
+                             "Excel/heatmap export, lib/utils.py:552-589)")
+    parser.add_argument("--attention-sample", type=int, default=24,
+                        help="sample index for --export-attention "
+                             "(reference grabs batch 24)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -56,6 +63,34 @@ def main(argv=None):
               f"{row['mape']:>8.2f}")
     o = report["overall"]
     print(f"{'all':>7} {o['mae']:>8.2f} {o['rmse']:>8.2f} {o['mape']:>8.2f}")
+
+    if args.export_attention:
+        maps = trainer.attention_maps(args.split, args.attention_sample)
+        att_npz = os.path.join(trainer.run_dir, f"attention_{args.split}.npz")
+        np.savez(att_npz, **{f"block_{i}": m for i, m in enumerate(maps)})
+        # head-0 map of the first block as CSV (reference exported Excel;
+        # openpyxl isn't a dependency here so CSV is the tabular format)
+        head0 = maps[0][0]
+        csv_path = os.path.join(trainer.run_dir, f"attention_{args.split}.csv")
+        np.savetxt(csv_path, head0, delimiter=",")
+        png_path = os.path.join(trainer.run_dir, f"attention_{args.split}.png")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 5))
+            im = ax.imshow(head0, cmap="viridis", aspect="auto")
+            ax.set_xlabel("target node")
+            ax.set_ylabel("source node")
+            fig.colorbar(im, ax=ax)
+            fig.savefig(png_path, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+        except Exception as exc:  # matplotlib optional — CSV/npz still written
+            print(f"heatmap skipped: {exc}")
+            png_path = None
+        print(f"attention maps: {att_npz} {csv_path}"
+              + (f" {png_path}" if png_path else ""))
     return report
 
 

@@ -128,10 +128,14 @@ def load_config(path: str | Path) -> Config:
 
     def fill(cls, section):
         kwargs = {}
-        fields = {f.name: f for f in dataclasses.fields(cls)}
+        # configparser lowercases option names (optionxform), so match fields
+        # case-insensitively — otherwise ``K = 2`` would silently fall back to
+        # the default instead of setting the Chebyshev order.
+        fields = {f.name.lower(): f for f in dataclasses.fields(cls)}
         for key, raw in section.items():
-            if key in fields:
-                kwargs[key] = _coerce(fields[key], raw)
+            f = fields.get(key.lower())
+            if f is not None:
+                kwargs[f.name] = _coerce(f, raw)
             # unknown keys (use_tpu, ctx, model_name in [Data], ...) ignored
         return cls(**kwargs)
 

@@ -190,6 +190,31 @@ class Trainer:
         pred = np.concatenate([np.asarray(p) for p in preds], axis=0)[:n_valid]
         return pred, float(jnp.mean(jnp.stack(losses)))
 
+    def attention_maps(self, split: str = "test", sample: int = 24) -> list:
+        """Per-block raw spatial attention for one sample (the reference's
+        legacy export grabs batch 24 — lib/utils.py:552-568; stale against its
+        own model, working here). Returns a list of (K, N, N) arrays (dense
+        mode) or (K, N, E) edge maps (sparse mode)."""
+        x_full, _ = self._device_splits[split]
+        n = len(getattr(self.dataset, split))
+        idx = jnp.asarray([min(sample, n - 1)], jnp.int32)
+
+        @jax.jit
+        def fwd(params, x_full, idx, constants):
+            _, maps = self.family.apply(
+                params, x_full[idx],
+                spec=self.spec,
+                adj_pa=constants["adj_pa"],
+                cheb_polys=constants["cheb_polys"],
+                deterministic=True,
+                ell=constants.get("ell"),
+                return_attention=True,
+            )
+            return maps
+
+        maps = fwd(self.params, x_full, idx, self.constants)
+        return [np.asarray(m[0]) for m in maps]
+
     # ------------------------------------------------------------------
     def run(self, epochs: Optional[int] = None) -> dict:
         t = self.cfg.training

@@ -50,3 +50,15 @@ def test_validation_errors():
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         load_config("/nonexistent/path.conf")
+
+
+def test_uppercase_keys_parse(tmp_path):
+    """configparser lowercases option names; uppercase fields like K must
+    still bind (regression: 'K = 2' silently fell back to the default)."""
+    p = tmp_path / "k.conf"
+    p.write_text(
+        "[Data]\nnum_of_vertices = 4\nlen_input = 12\n"
+        "[Training]\nK = 2\nepochs = 1\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.training.K == 2
