@@ -37,6 +37,9 @@ def main(argv=None):
                         help="bfloat16 compute (params stay fp32)")
     parser.add_argument("--use-pallas", action="store_true",
                         help="fused Pallas kernels on the Chebyshev-attention path")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="write TensorBoard scalars to <run_dir>/tb "
+                             "alongside metrics.jsonl")
     parser.add_argument("--profile", metavar="LOGDIR", default=None,
                         help="write a jax.profiler trace of the first epoch "
                              "(view in TensorBoard/Perfetto)")
@@ -55,6 +58,8 @@ def main(argv=None):
         cfg.training.compute_dtype = "bfloat16"
     if args.use_pallas:
         cfg.training.use_pallas = True
+    if args.tensorboard:
+        cfg.training.tensorboard = True
 
     mesh = None
     if args.data_axis or args.graph_axis:

@@ -69,6 +69,7 @@ class TrainingConfig:
     data_axis: int = 1              # mesh axis sizes; 1 = single chip
     graph_axis: int = 1
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
+    tensorboard: bool = False       # also write TensorBoard scalars to <run_dir>/tb
 
     def __post_init__(self):
         if self.d_v < 0:

@@ -119,7 +119,10 @@ class Trainer:
             t.num_of_hours, t.num_of_days, t.num_of_weeks,
             t.in_channels, t.learning_rate,
         )
-        self.logger = logger or MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
+        self.logger = logger or MetricLogger(
+            os.path.join(self.run_dir, "metrics.jsonl"),
+            tensorboard_dir=os.path.join(self.run_dir, "tb") if t.tensorboard else None,
+        )
         self.best_val = math.inf
         self.best_epoch = -1
         self.epoch = t.start_epoch

@@ -68,3 +68,17 @@ def test_trainer_epoch_under_trace(tmp_path):
         jax.block_until_ready(losses)
     assert np.all(np.isfinite(np.asarray(losses)))
     assert os.path.isdir(logdir)
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """TensorBoard scalars land in event files alongside the JSONL."""
+    from dstagnn_drought_tpu.training.logger import MetricLogger
+
+    tb = str(tmp_path / "tb")
+    lg = MetricLogger(str(tmp_path / "m.jsonl"), quiet=True, tensorboard_dir=tb)
+    lg.log("epoch", epoch=0, train_loss=1.5, val_loss=2.0)
+    lg.log("epoch", epoch=1, train_loss=1.0, val_loss=1.8)
+    lg.log("test", loss=0.9, mae=1.1)
+    lg.close()
+    files = os.listdir(tb)
+    assert any("tfevents" in f for f in files), files
