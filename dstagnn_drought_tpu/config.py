@@ -64,8 +64,10 @@ class TrainingConfig:
     # --- new-framework knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False        # fused Pallas kernels on the cheb-attention path
-    sparse: bool = False            # O(N·E) ELL edge path for SAt + cheb conv
-    max_degree: int = 0             # sparse: cap on in-degree (0 = graph max)
+    sparse: bool = False            # sparse SAt + cheb conv path
+    sparse_format: str = "ell"      # "ell" (edge list) | "bell" (block-sparse)
+    block_size: int = 128           # bell: node-block tile size (MXU width)
+    max_degree: int = 0             # ell: cap on in-degree (0 = graph max)
     data_axis: int = 1              # mesh axis sizes; 1 = single chip
     graph_axis: int = 1
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
@@ -101,6 +103,9 @@ class Config:
             raise ValueError("len_input must be >= 7 for the GTU(3/5/7) stack")
         if t.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported compute_dtype {t.compute_dtype!r}")
+        if t.sparse_format not in ("ell", "bell"):
+            raise ValueError(f"sparse_format must be 'ell' or 'bell', got "
+                             f"{t.sparse_format!r}")
         return self
 
 

@@ -220,26 +220,48 @@ def _block_apply(
     SEmx = dropout(SEmx, spec.dropout_rate, k1, deterministic)
 
     if ell is not None:
-        # Sparse scaling path: SDDMM edge scores + neighbourhood softmax
-        # aggregation, O(N·E) instead of the dense O(N²) (ops/sparse.py).
+        from dstagnn_drought_tpu.ops.block_sparse import (
+            BlockEllGraph,
+            block_sparse_cheb_conv_with_sat,
+            block_sparse_spatial_attention_scores,
+            gather_block_values,
+        )
         from dstagnn_drought_tpu.ops.sparse import (
             gather_edge_values,
             sparse_cheb_conv_with_sat,
             sparse_spatial_attention_scores,
         )
 
-        edge_scores = sparse_spatial_attention_scores(
-            SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
-            n_heads=spec.K, d_k=spec.d_k,
-        )
-        STAt = edge_scores  # (B, K, N, E) — the exported attention map
         bias = adj_pa[None] * p["cheb"]["masks"]
-        spatial_gcn = sparse_cheb_conv_with_sat(
-            x, edge_scores, ell,
-            cheb_edges=gather_edge_values(cheb_polys, ell),
-            bias_edges=gather_edge_values(bias, ell),
-            thetas=p["cheb"]["thetas"],
-        )  # (B, N, C, T)
+        if isinstance(ell, BlockEllGraph):
+            # Block-sparse (BELL) scaling path: per-active-tile SDDMM and
+            # aggregation as dense 128×128 MXU matmuls (ops/block_sparse.py);
+            # work scales with active blocks, not N².
+            block_scores = block_sparse_spatial_attention_scores(
+                SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                n_heads=spec.K, d_k=spec.d_k,
+            )
+            STAt = block_scores  # (B, K, NJ, S, BS, BS) — exported map
+            spatial_gcn = block_sparse_cheb_conv_with_sat(
+                x, block_scores, ell,
+                cheb_blocks=gather_block_values(cheb_polys, ell),
+                bias_blocks=gather_block_values(bias, ell),
+                thetas=p["cheb"]["thetas"],
+            )  # (B, N, C, T)
+        else:
+            # Edge-list (ELL) sparse path: SDDMM edge scores + neighbourhood
+            # softmax aggregation, O(N·E) memory (ops/sparse.py).
+            edge_scores = sparse_spatial_attention_scores(
+                SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                n_heads=spec.K, d_k=spec.d_k,
+            )
+            STAt = edge_scores  # (B, K, N, E) — the exported attention map
+            spatial_gcn = sparse_cheb_conv_with_sat(
+                x, edge_scores, ell,
+                cheb_edges=gather_edge_values(cheb_polys, ell),
+                bias_edges=gather_edge_values(bias, ell),
+                thetas=p["cheb"]["thetas"],
+            )  # (B, N, C, T)
     else:
         STAt = spatial_attention_scores(
             SEmx, wq=p["sat"]["wq"], wk=p["sat"]["wk"],

@@ -91,13 +91,22 @@ class Trainer:
                 f"{t.model_name!r}"
             )
         if t.sparse:
-            from dstagnn_drought_tpu.ops.sparse import ell_from_adjacency
-
             # neighbourhood = support of the (elementwise) Chebyshev stack,
             # i.e. the merged graph's pattern plus the identity diagonal
-            self.constants["ell"] = ell_from_adjacency(
-                adj_merge, max_degree=t.max_degree or None
-            )
+            if t.sparse_format == "bell":
+                from dstagnn_drought_tpu.ops.block_sparse import (
+                    block_ell_from_adjacency,
+                )
+
+                self.constants["ell"] = block_ell_from_adjacency(
+                    adj_merge, block_size=t.block_size
+                )
+            else:
+                from dstagnn_drought_tpu.ops.sparse import ell_from_adjacency
+
+                self.constants["ell"] = ell_from_adjacency(
+                    adj_merge, max_degree=t.max_degree or None
+                )
         self.optimizer = make_optimizer(t.learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.rng = key
