@@ -1,0 +1,138 @@
+"""Sparse-path microbench: dense vs ELL vs BELL for one model block
+(spatial attention + modulated Chebyshev aggregation) at real graph scales.
+
+Run on the TPU (default env) or CPU (JAX_PLATFORMS=cpu). Prints one JSON
+line per (shape, path). The BELL numbers depend on graph locality: pass
+--radius to control the banded-graph neighbourhood (STAG graphs built from
+spatial data are local; ``rcm_permutation`` makes them banded).
+
+Usage: python benchmarks/sparse_bench.py [--shapes gambia,pems07] [--radius 12]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+SHAPES = {
+    # name: (N, B, d_model, K, d_k, C, T)
+    "gambia": (2139, 4, 512, 3, 32, 32, 144),
+    "pems07": (883, 12, 512, 3, 32, 32, 12),
+    "toy": (256, 4, 64, 3, 16, 8, 12),
+}
+
+
+def banded_graph(N, radius, density=0.6, seed=0):
+    rng = np.random.default_rng(seed)
+    A = np.zeros((N, N), np.float32)
+    for j in range(N):
+        lo, hi = max(0, j - radius), min(N, j + radius + 1)
+        nbrs = rng.random(hi - lo) < density
+        A[lo:hi, j] = nbrs
+    return A
+
+
+def timeit(fn, *args, iters=20):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="toy")
+    ap.add_argument("--radius", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+    from dstagnn_drought_tpu.ops.attention import spatial_attention_scores
+    from dstagnn_drought_tpu.ops.block_sparse import (
+        block_ell_from_adjacency,
+        block_sparse_cheb_conv_with_sat,
+        block_sparse_spatial_attention_scores,
+        gather_block_values,
+    )
+    from dstagnn_drought_tpu.ops.cheb import cheb_conv_with_sat
+    from dstagnn_drought_tpu.ops.sparse import (
+        ell_from_adjacency,
+        gather_edge_values,
+        sparse_cheb_conv_with_sat,
+        sparse_spatial_attention_scores,
+    )
+
+    for name in args.shapes.split(","):
+        N, B, dm, K, dk, C, T = SHAPES[name]
+        rng = np.random.default_rng(0)
+        A = banded_graph(N, args.radius)
+        ell = ell_from_adjacency(A)
+        bell = block_ell_from_adjacency(A, block_size=128)
+        nnz = int((A != 0).sum() + N)
+        frac_active = float(np.asarray(bell.block_mask).mean())
+
+        emb = jnp.asarray(rng.normal(size=(B, N, dm)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(B, N, C, T)), jnp.float32)
+        wq = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
+        wk = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
+        cheb = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
+        adj_pa = jnp.asarray((rng.random((N, N)) < 0.01), jnp.float32)
+        masks = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
+        thetas = jnp.asarray(rng.normal(size=(K, C, C)) * 0.1, jnp.float32)
+
+        @jax.jit
+        def dense_block(emb, x):
+            s = spatial_attention_scores(emb, wq=wq, wk=wk, n_heads=K, d_k=dk)
+            return cheb_conv_with_sat(
+                x, s, adj_pa, cheb_polys=cheb, masks=masks, thetas=thetas
+            )
+
+        @jax.jit
+        def ell_block(emb, x):
+            s = sparse_spatial_attention_scores(
+                emb, ell, wq=wq, wk=wk, n_heads=K, d_k=dk
+            )
+            return sparse_cheb_conv_with_sat(
+                x, s, ell,
+                cheb_edges=gather_edge_values(cheb, ell),
+                bias_edges=gather_edge_values(adj_pa[None] * masks, ell),
+                thetas=thetas,
+            )
+
+        @jax.jit
+        def bell_block(emb, x):
+            s = block_sparse_spatial_attention_scores(
+                emb, bell, wq=wq, wk=wk, n_heads=K, d_k=dk
+            )
+            return block_sparse_cheb_conv_with_sat(
+                x, s, bell,
+                cheb_blocks=gather_block_values(cheb, bell),
+                bias_blocks=gather_block_values(adj_pa[None] * masks, bell),
+                thetas=thetas,
+            )
+
+        for path, fn in (("dense", dense_block), ("ell", ell_block),
+                         ("bell", bell_block)):
+            ms = timeit(fn, emb, x, iters=args.iters) * 1e3
+            print(json.dumps({
+                "shape": name, "path": path, "ms": round(ms, 3),
+                "N": N, "B": B, "nnz": nnz,
+                "E": int(ell.max_degree),
+                "bell_active_frac": round(frac_active, 3),
+                "backend": jax.default_backend(),
+            }))
+
+
+if __name__ == "__main__":
+    main()
