@@ -91,7 +91,11 @@ def normalization(train: np.ndarray, val: np.ndarray, test: np.ndarray):
     assert train.shape[1:] == val.shape[1:] == test.shape[1:]
     mean = train.mean(axis=(0, 1, 3), keepdims=True)
     std = train.std(axis=(0, 1, 3), keepdims=True)
-    norm = lambda x: (x - mean) / std
+    # Constant features have zero variance; the reference divides anyway and
+    # produces NaNs (prepareData.py:149-161). Normalize them to zero instead
+    # (documented defect fix — the stored std keeps the raw value).
+    safe_std = np.where(std == 0, 1.0, std)
+    norm = lambda x: (x - mean) / safe_std
     return {"_mean": mean, "_std": std}, norm(train), norm(val), norm(test)
 
 

@@ -85,3 +85,13 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    """Without coordinator env vars (or explicit args) the single-host path
+    must not attempt a rendezvous."""
+    from dstagnn_drought_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize_distributed() is False
