@@ -84,7 +84,10 @@ def main():
         ell = ell_from_adjacency(A)
         bell = block_ell_from_adjacency(A, block_size=128)
         nnz = int((A != 0).sum() + N)
-        frac_active = float(np.asarray(bell.block_mask).mean())
+        # fraction of the full block grid that is active (the BELL work ratio)
+        frac_active = float(
+            np.asarray(bell.block_mask).sum() / bell.num_tiles**2
+        )
 
         emb = jnp.asarray(rng.normal(size=(B, N, dm)), jnp.float32)
         x = jnp.asarray(rng.normal(size=(B, N, C, T)), jnp.float32)
@@ -126,8 +129,20 @@ def main():
                 thetas=thetas,
             )
 
+        from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+            bell_cheb_conv_with_sat_pallas,
+        )
+
+        @jax.jit
+        def bell_pallas_block(emb, x):
+            return bell_cheb_conv_with_sat_pallas(
+                x, emb, bell, wq=wq, wk=wk, adj_pa=adj_pa, masks=masks,
+                cheb_polys=cheb, thetas=thetas, n_heads=K, d_k=dk,
+            )
+
         for path, fn in (("dense", dense_block), ("ell", ell_block),
-                         ("bell", bell_block)):
+                         ("bell", bell_block),
+                         ("bell_pallas", bell_pallas_block)):
             ms = timeit(fn, emb, x, iters=args.iters) * 1e3
             print(json.dumps({
                 "shape": name, "path": path, "ms": round(ms, 3),

@@ -236,18 +236,34 @@ def _block_apply(
         if isinstance(ell, BlockEllGraph):
             # Block-sparse (BELL) scaling path: per-active-tile SDDMM and
             # aggregation as dense 128×128 MXU matmuls (ops/block_sparse.py);
-            # work scales with active blocks, not N².
-            block_scores = block_sparse_spatial_attention_scores(
-                SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
-                n_heads=spec.K, d_k=spec.d_k,
-            )
-            STAt = block_scores  # (B, K, NJ, S, BS, BS) — exported map
-            spatial_gcn = block_sparse_cheb_conv_with_sat(
-                x, block_scores, ell,
-                cheb_blocks=gather_block_values(cheb_polys, ell),
-                bias_blocks=gather_block_values(bias, ell),
-                thetas=p["cheb"]["thetas"],
-            )  # (B, N, C, T)
+            # work scales with active blocks, not N². With use_pallas the
+            # whole SDDMM → online-softmax → aggregation pipeline runs as
+            # one fused streaming kernel (ops/pallas/bell_fused.py).
+            if use_pallas:
+                from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+                    bell_cheb_conv_with_sat_pallas,
+                )
+
+                STAt = jnp.zeros((), x.dtype)  # not materialized by the kernel
+                spatial_gcn = bell_cheb_conv_with_sat_pallas(
+                    x, SEmx, ell,
+                    wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                    adj_pa=adj_pa, masks=p["cheb"]["masks"],
+                    cheb_polys=cheb_polys, thetas=p["cheb"]["thetas"],
+                    n_heads=spec.K, d_k=spec.d_k,
+                )
+            else:
+                block_scores = block_sparse_spatial_attention_scores(
+                    SEmx, ell, wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                    n_heads=spec.K, d_k=spec.d_k,
+                )
+                STAt = block_scores  # (B, K, NJ, S, BS, BS) — exported map
+                spatial_gcn = block_sparse_cheb_conv_with_sat(
+                    x, block_scores, ell,
+                    cheb_blocks=gather_block_values(cheb_polys, ell),
+                    bias_blocks=gather_block_values(bias, ell),
+                    thetas=p["cheb"]["thetas"],
+                )  # (B, N, C, T)
         else:
             # Edge-list (ELL) sparse path: SDDMM edge scores + neighbourhood
             # softmax aggregation, O(N·E) memory (ops/sparse.py).
