@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--shapes", default="toy")
     ap.add_argument("--radius", type=int, default=12)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--paths", default="dense,ell,bell,bell_pallas",
+                    help="comma list of paths to run")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 activations (mixed-precision path)")
     args = ap.parse_args()
 
     import jax
@@ -89,8 +93,9 @@ def main():
             np.asarray(bell.block_mask).sum() / bell.num_tiles**2
         )
 
-        emb = jnp.asarray(rng.normal(size=(B, N, dm)), jnp.float32)
-        x = jnp.asarray(rng.normal(size=(B, N, C, T)), jnp.float32)
+        act_dt = jnp.bfloat16 if args.bf16 else jnp.float32
+        emb = jnp.asarray(rng.normal(size=(B, N, dm)), act_dt)
+        x = jnp.asarray(rng.normal(size=(B, N, C, T)), act_dt)
         wq = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
         wk = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
         cheb = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
@@ -140,15 +145,19 @@ def main():
                 cheb_polys=cheb, thetas=thetas, n_heads=K, d_k=dk,
             )
 
+        wanted = set(args.paths.split(","))
         for path, fn in (("dense", dense_block), ("ell", ell_block),
                          ("bell", bell_block),
                          ("bell_pallas", bell_pallas_block)):
+            if path not in wanted:
+                continue
             ms = timeit(fn, emb, x, iters=args.iters) * 1e3
             print(json.dumps({
                 "shape": name, "path": path, "ms": round(ms, 3),
                 "N": N, "B": B, "nnz": nnz,
                 "E": int(ell.max_degree),
                 "bell_active_frac": round(frac_active, 3),
+                "dtype": str(act_dt.__name__),
                 "backend": jax.default_backend(),
             }))
 

@@ -43,22 +43,27 @@ _NEG = -1e30
 
 
 def _kernel(idx_ref, q_ref, k_ref, bias_ref, cheb_ref, pat_ref, x_ref,
-            o_ref, m_sc, d_sc, acc_sc):
+            o_ref, m_sc, d_sc):
     s = pl.program_id(3)
+    h = pl.program_id(4)
     ns = pl.num_programs(3)
     inv_sqrt_dk = 1.0 / (k_ref.shape[-1] ** 0.5)
 
+    # Grid order (B, NJ, S, H), h innermost: the (BS, M) x block is resident
+    # across all heads, and the (H, BS, M) output block is resident across
+    # the whole (s, h) sweep of a target tile — the accumulator lives IN the
+    # output block, so x is fetched once per active tile, not once per head.
     @pl.when(s == 0)
     def _():
-        m_sc[:] = jnp.full_like(m_sc, _NEG)
-        d_sc[:] = jnp.zeros_like(d_sc)
-        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[h] = jnp.full_like(m_sc[h], _NEG)
+        d_sc[h] = jnp.zeros_like(d_sc[h])
+        o_ref[0, h] = jnp.zeros_like(o_ref[0, h])
 
-    q = q_ref[0, 0, 0]          # (BS, dk) — source block rows
-    k = k_ref[0, 0, 0]          # (BS, dk) — target tile rows
+    q = q_ref[0, 0]             # (BS, dk) — source block rows
+    k = k_ref[0, 0]             # (BS, dk) — target tile rows
     pat = pat_ref[0, 0]         # (BS_src, BS_tgt) 0/1
-    bias = bias_ref[0, 0, 0]    # (BS_src, BS_tgt)
-    cheb = cheb_ref[0, 0, 0]    # (BS_src, BS_tgt)
+    bias = bias_ref[0]          # (BS_src, BS_tgt)
+    cheb = cheb_ref[0]          # (BS_src, BS_tgt)
 
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -67,22 +72,25 @@ def _kernel(idx_ref, q_ref, k_ref, bias_ref, cheb_ref, pat_ref, x_ref,
     scores = jnp.where(pat > 0, scores, _NEG)
 
     mx = jnp.max(scores, axis=0, keepdims=True)       # (1, BS_tgt)
-    m_new = jnp.maximum(m_sc[:], mx)
-    scale = jnp.exp(m_sc[:] - m_new)                  # (1, BS_tgt)
+    m_prev = m_sc[h]
+    m_new = jnp.maximum(m_prev, mx)
+    scale = jnp.exp(m_prev - m_new)                   # (1, BS_tgt)
     e = jnp.exp(scores - m_new) * pat                 # exact zero off-pattern
-    d_sc[:] = d_sc[:] * scale + jnp.sum(e, axis=0, keepdims=True)
+    d_sc[h] = d_sc[h] * scale + jnp.sum(e, axis=0, keepdims=True)
     w = cheb * e                                      # (BS_src, BS_tgt)
-    acc_sc[:] = acc_sc[:] * scale.T + jax.lax.dot_general(
-        w, x_ref[0, 0],
+    # the SpMM runs at the x dtype (bf16 under mixed-precision training —
+    # double MXU rate, half the DMA); accumulation stays f32
+    o_ref[0, h] = o_ref[0, h] * scale.T + jax.lax.dot_general(
+        w.astype(x_ref.dtype), x_ref[0],
         dimension_numbers=(((0,), (0,)), ((), ())),   # wᵀ @ x
         preferred_element_type=jnp.float32,
     )
-    m_sc[:] = m_new
+    m_sc[h] = m_new
 
     @pl.when(s == ns - 1)
     def _():
-        denom = jnp.maximum(d_sc[:], 1e-30).T         # (BS_tgt, 1)
-        o_ref[0, 0, 0] = acc_sc[:] / denom
+        denom = jnp.maximum(d_sc[h], 1e-30).T         # (BS_tgt, 1)
+        o_ref[0, h] = o_ref[0, h] / denom
 
 
 def _auto_interpret() -> bool:
@@ -92,59 +100,73 @@ def _auto_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bell_fused_forward(
     block_idx: jax.Array,  # (NJ, S) int32 — scalar-prefetched
-    q: jax.Array,          # (B, H, NB, BS, dk) source-block Q rows
-    k: jax.Array,          # (B, H, NJ, BS, dk) target-tile K rows
-    bias_p: jax.Array,     # (H, NB, NJ, BS, BS) bias planes, tile layout
-    cheb_p: jax.Array,     # (H, NB, NJ, BS, BS) Chebyshev planes
+    q: jax.Array,          # (B, H, Np, dk) Q rows (node axis padded)
+    k: jax.Array,          # (B, H, Np, dk) K rows
+    bias_p: jax.Array,     # (H, Np, Np) dense bias planes (padded)
+    cheb_p: jax.Array,     # (H, Np, Np) dense Chebyshev planes (padded)
     pattern: jax.Array,    # (NJ, S, BS, BS) f32 0/1 (block_mask folded in)
-    x: jax.Array,          # (B, NB, BS, M) source features
+    x: jax.Array,          # (B, Np, M) source features (padded; f32 or bf16)
     interpret: bool = False,
 ) -> jax.Array:
     """out[b,h,j,t,m] = Σ_s (T_k ⊙ softmax(scores))ᵀ · x over active tiles.
 
     Returns (B, H, NJ, BS, M) f32.
     """
-    B, H, NB, BS, dk = q.shape
+    B, H, Np, dk = q.shape
     NJ, S = block_idx.shape
+    BS = Np // NJ
     M = x.shape[-1]
+    # Tile the feature axis so the resident (H, BS, TM) output block plus the
+    # double-buffered x block stay within scoped VMEM (measured: H=3, BS=128,
+    # TM=4608 OOMs the 16 MB budget).
+    TM = M
+    while H * BS * TM * 4 * 2 + 2 * BS * TM * 4 > 10 * 2**20:
+        best = None
+        for cand in range(TM - 128, 127, -128):
+            if M % cand == 0:
+                best = cand
+                break
+        if best is None:
+            break
+        TM = best
+    NM = M // TM
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, NJ, S),
+        grid=(B, NJ, NM, S, H),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, BS, dk),
-                         lambda b, h, j, s, idx: (b, h, idx[j, s], 0, 0),
+            pl.BlockSpec((1, 1, BS, dk),
+                         lambda b, j, m, s, h, idx: (b, h, idx[j, s], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BS, dk),
-                         lambda b, h, j, s, idx: (b, h, j, 0, 0),
+            pl.BlockSpec((1, 1, BS, dk),
+                         lambda b, j, m, s, h, idx: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BS, BS),
-                         lambda b, h, j, s, idx: (h, idx[j, s], j, 0, 0),
+            pl.BlockSpec((1, BS, BS),
+                         lambda b, j, m, s, h, idx: (h, idx[j, s], j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, BS, BS),
-                         lambda b, h, j, s, idx: (h, idx[j, s], j, 0, 0),
+            pl.BlockSpec((1, BS, BS),
+                         lambda b, j, m, s, h, idx: (h, idx[j, s], j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BS, BS),
-                         lambda b, h, j, s, idx: (j, s, 0, 0),
+                         lambda b, j, m, s, h, idx: (j, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BS, M),
-                         lambda b, h, j, s, idx: (b, idx[j, s], 0, 0),
+            pl.BlockSpec((1, BS, TM),
+                         lambda b, j, m, s, h, idx: (b, idx[j, s], m),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, BS, M),
-                               lambda b, h, j, s, idx: (b, h, j, 0, 0),
+        out_specs=pl.BlockSpec((1, H, BS, TM),
+                               lambda b, j, m, s, h, idx: (b, 0, j, m),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, BS), jnp.float32),   # running max
-            pltpu.VMEM((1, BS), jnp.float32),   # running denom
-            pltpu.VMEM((BS, M), jnp.float32),   # accumulator
+            pltpu.VMEM((H, 1, BS), jnp.float32),   # running max, per head
+            pltpu.VMEM((H, 1, BS), jnp.float32),   # running denom, per head
         ],
     )
     nnz_tiles = int(NJ * S)
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, NJ, BS, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, M), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * nnz_tiles * (BS * BS * dk + BS * BS * M),
             bytes_accessed=4 * B * H * nnz_tiles * (BS * dk + BS * BS * 2)
@@ -161,20 +183,22 @@ def bell_fused_forward(
 
 def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
     """Recompute block scores / softmax with plain XLA (backward helper)."""
-    B, H, NB, BS, dk = q.shape
+    B, H, Np, dk = q.shape
     NJ, S = block_idx.shape
-    q_blocks = q[:, :, block_idx]                      # (B, H, NJ, S, BS, dk)
-    scores = jnp.einsum("bhjsad,bhjcd->bhjsac", q_blocks, k) / jnp.sqrt(
+    BS = Np // NJ
+    qb = q.reshape(B, H, NJ, BS, dk)
+    kb = k.reshape(B, H, NJ, BS, dk)
+    q_blocks = qb[:, :, block_idx]                     # (B, H, NJ, S, BS, dk)
+    scores = jnp.einsum("bhjsad,bhjcd->bhjsac", q_blocks, kb) / jnp.sqrt(
         jnp.asarray(dk, q.dtype)
     )
-    # bias/cheb tiles at (idx[j,s], j); planes are (H, NB, NJ, BS, BS)
+    # bias/cheb tiles at (idx[j,s]·BS, j·BS); planes are dense (H, Np, Np)
     idx5 = block_idx[None, :, :, None, None].astype(jnp.int32)
-    bias_tiles = jnp.take_along_axis(
-        bias_p.transpose(0, 2, 1, 3, 4), idx5, axis=2
+    tiles = lambda plane: jnp.take_along_axis(
+        plane.reshape(H, NJ, BS, NJ, BS).transpose(0, 3, 1, 2, 4), idx5, axis=2
     )  # (H, NJ, S, BS, BS)
-    cheb_tiles = jnp.take_along_axis(
-        cheb_p.transpose(0, 2, 1, 3, 4), idx5, axis=2
-    )
+    bias_tiles = tiles(bias_p)
+    cheb_tiles = tiles(cheb_p)
     s_all = scores + bias_tiles[None]
     s_all = jnp.where(pattern[None, None] > 0, s_all, _NEG)
     # softmax over (s, a) per target column
@@ -200,32 +224,40 @@ def _fwd(block_idx, q, k, bias_p, cheb_p, pattern, x):
 
 def _bwd(res, g):
     block_idx, q, k, bias_p, cheb_p, pattern, x = res
-    B, H, NB, BS, dk = q.shape
+    B, H, Np, dk = q.shape
     NJ, S = block_idx.shape
+    BS = Np // NJ
     M = x.shape[-1]
     q_blocks, att, cheb_tiles = _xla_block_pieces(
         q, k, bias_p, cheb_p, pattern, block_idx
     )
     A = cheb_tiles[None] * att                      # (B,H,NJ,S,BS_src,BS_tgt)
-    x_blocks = x[:, block_idx]                      # (B, NJ, S, BS, M)
-    # g: (B, H, NJ, BS_tgt, M)
-    dx_blocks = jnp.einsum("bhjsat,bhjtm->bjsam", A, g)  # sum over heads
-    dx = jnp.zeros_like(x).at[:, block_idx].add(dx_blocks)
-    dA = jnp.einsum("bjsam,bhjtm->bhjsat", x_blocks, g)
+    xb = x.reshape(B, NJ, BS, M)
+    x_blocks = xb[:, block_idx]                     # (B, NJ, S, BS, M)
+    gb = g.reshape(B, H, NJ, BS, M)                 # (B, H, NJ, BS_tgt, M)
+    dx_blocks = jnp.einsum("bhjsat,bhjtm->bjsam", A, gb)  # sum over heads
+    dx = jnp.zeros_like(xb).at[:, block_idx].add(dx_blocks).reshape(B, Np, M)
+    dA = jnp.einsum("bjsam,bhjtm->bhjsat", x_blocks, gb)
     datt = cheb_tiles[None] * dA
     # softmax backward per target column over the (s, a) neighbourhood
     dot = jnp.einsum("bhjsat,bhjsat->bhjt", att, datt)
     ds = att * (datt - dot[:, :, :, None, None, :])
     inv = 1.0 / jnp.sqrt(jnp.asarray(dk, q.dtype))
-    dq_blocks = jnp.einsum("bhjsat,bhjtd->bhjsad", ds, k) * inv
-    dq = jnp.zeros_like(q).at[:, :, block_idx].add(dq_blocks)
-    dk_ = jnp.einsum("bhjsat,bhjsad->bhjtd", ds, q_blocks) * inv
+    kb = k.reshape(B, H, NJ, BS, dk)
+    dq_blocks = jnp.einsum("bhjsat,bhjtd->bhjsad", ds, kb) * inv
+    dq = (
+        jnp.zeros((B, H, NJ, BS, dk), q.dtype)
+        .at[:, :, block_idx].add(dq_blocks).reshape(B, H, Np, dk)
+    )
+    dk_ = jnp.einsum("bhjsat,bhjsad->bhjtd", ds, q_blocks).reshape(
+        B, H, Np, dk
+    ) * inv
     # scatter tile grads back to the dense planes
     ds_sum = ds.sum(axis=0)                          # (H, NJ, S, BS_src, BS_tgt)
-    dbias_t = jnp.zeros((H, NJ, NB, BS, BS), ds.dtype).at[
+    dbias_t = jnp.zeros((H, NJ, NJ, BS, BS), ds.dtype).at[
         :, jnp.arange(NJ)[:, None], block_idx
-    ].add(ds_sum)
-    dbias_p = dbias_t.transpose(0, 2, 1, 3, 4)       # (H, NB, NJ, BS, BS)
+    ].add(ds_sum)                                    # (H, jt, sb, a, b)
+    dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np, Np)
     return None, dq, dk_, dbias_p, None, None, dx
 
 
@@ -268,28 +300,29 @@ def bell_cheb_conv_with_sat_pallas(
         return jnp.pad(a, pad)
 
     f32 = jnp.float32
-    qp = jnp.einsum("bnd,dh->bnh", emb, wq).astype(f32)
-    kp = jnp.einsum("bnd,dh->bnh", emb, wk).astype(f32)
-    qp = pad_n(qp, 1).reshape(B, NJ, BS, n_heads, d_k)
-    kp = pad_n(kp, 1).reshape(B, NJ, BS, n_heads, d_k)
-    q = qp.transpose(0, 3, 1, 2, 4)   # (B, H, NB, BS, dk)
-    k = kp.transpose(0, 3, 1, 2, 4)   # (B, H, NJ, BS, dk)
+    qp = pad_n(
+        jnp.einsum("bnd,dh->bnh", emb, wq).astype(f32).reshape(
+            B, N, n_heads, d_k
+        ), 1,
+    )
+    kp = pad_n(
+        jnp.einsum("bnd,dh->bnh", emb, wk).astype(f32).reshape(
+            B, N, n_heads, d_k
+        ), 1,
+    )
+    q = qp.transpose(0, 2, 1, 3)   # (B, H, Np, dk)
+    k = kp.transpose(0, 2, 1, 3)
 
-    bias = (adj_pa[None] * masks).astype(f32)       # (H, N, N)
-    # tile layout (H, src_block, tgt_tile, BS, BS): (BS, BS) last for the
-    # TPU BlockSpec divisibility rule
-    bias_p = pad_n(pad_n(bias, 1), 2).reshape(
-        n_heads, NJ, BS, NJ, BS
-    ).transpose(0, 1, 3, 2, 4)
-    cheb_p = pad_n(pad_n(cheb_polys.astype(f32), 1), 2).reshape(
-        n_heads, NJ, BS, NJ, BS
-    ).transpose(0, 1, 3, 2, 4)
+    bias_p = pad_n(pad_n((adj_pa[None] * masks).astype(f32), 1), 2)
+    cheb_p = pad_n(pad_n(cheb_polys.astype(f32), 1), 2)  # (H, Np, Np)
     pattern = (
         bell.pattern & bell.block_mask[:, :, None, None]
     ).astype(f32)
-    xm = pad_n(x.reshape(B, N, C * T).astype(f32), 1).reshape(B, NJ, BS, C * T)
+    # x keeps its compute dtype (bf16 halves the dominant DMA volume and
+    # doubles the SpMM MXU rate; the kernel accumulates in f32)
+    xm = pad_n(x.reshape(B, N, C * T), 1)                # (B, Np, M)
 
     agg = bell_aggregate(bell.block_idx, q, k, bias_p, cheb_p, pattern, xm)
-    agg = agg.reshape(B, n_heads, Np, C, T)[:, :, :N]
+    agg = agg[:, :, :N].reshape(B, n_heads, N, C, T)
     out = jnp.einsum("bkjct,kco->bjot", agg, thetas.astype(f32))
     return jax.nn.relu(out).astype(x.dtype)
