@@ -72,6 +72,10 @@ class TrainingConfig:
     graph_axis: int = 1
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
     tensorboard: bool = False       # also write TensorBoard scalars to <run_dir>/tb
+    nan_policy: str = "abort"       # "abort" | "rollback" (restore last good
+                                    # checkpoint, halve LR, retry; abort after
+                                    # max_rollbacks)
+    max_rollbacks: int = 2
 
     def __post_init__(self):
         if self.d_v < 0:
@@ -106,6 +110,9 @@ class Config:
         if t.sparse_format not in ("ell", "bell"):
             raise ValueError(f"sparse_format must be 'ell' or 'bell', got "
                              f"{t.sparse_format!r}")
+        if t.nan_policy not in ("abort", "rollback"):
+            raise ValueError(f"nan_policy must be 'abort' or 'rollback', got "
+                             f"{t.nan_policy!r}")
         return self
 
 

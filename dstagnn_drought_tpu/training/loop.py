@@ -119,9 +119,12 @@ class Trainer:
             shard_nodes=t.graph_axis > 1 if mesh is not None else False,
             apply_fn=self.family.apply,
         )
+        self._step_kw = step_kw
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
         self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **step_kw)
         self.eval_step = make_eval_step(self.spec, **step_kw)
+        self._lr_scale = 1.0
+        self._rollbacks = 0
 
         self.run_dir = ckpt.run_dir(
             experiments_root, cfg.data.dataset_name, t.model_name,
@@ -227,6 +230,38 @@ class Trainer:
         maps = fwd(self.params, x_full, idx, self.constants)
         return [np.asarray(m[0]) for m in maps]
 
+    def _rollback_to_last_good(self, epoch: int) -> None:
+        """NaN recovery (SURVEY.md §5 failure detection): restore the last
+        checkpoint, halve the learning rate, and continue. The reference has
+        no equivalent — a NaN there silently poisons the rest of the run."""
+        t = self.cfg.training
+        latest = ckpt.latest_checkpoint(self.run_dir)
+        if latest is None:
+            raise FloatingPointError(
+                f"NaN loss at epoch {epoch} and no checkpoint to roll back to"
+            )
+        params, opt_state, rng, _ = ckpt.restore_checkpoint(
+            latest, params_template=self.params,
+            opt_state_template=self.opt_state,
+        )
+        self.params = jax.device_put(params)
+        if rng is not None:
+            self.rng = rng
+        self._rollbacks += 1
+        self._lr_scale *= 0.5
+        self.optimizer = make_optimizer(t.learning_rate * self._lr_scale)
+        self.opt_state = (
+            jax.device_put(opt_state)
+            if opt_state is not None
+            else self.optimizer.init(self.params)
+        )
+        self.train_step = make_train_step(self.spec, self.optimizer, **self._step_kw)
+        self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **self._step_kw)
+        self.logger.log(
+            "rollback", epoch=epoch, checkpoint=latest,
+            lr=t.learning_rate * self._lr_scale, rollbacks=self._rollbacks,
+        )
+
     # ------------------------------------------------------------------
     def run(self, epochs: Optional[int] = None) -> dict:
         t = self.cfg.training
@@ -236,7 +271,16 @@ class Trainer:
         while self.epoch < end_epoch:
             e = self.epoch
             t0 = _time.time()
-            train_loss = self.train_epoch(e)
+            try:
+                train_loss = self.train_epoch(e)
+            except FloatingPointError:
+                if (
+                    t.nan_policy == "rollback"
+                    and self._rollbacks < t.max_rollbacks
+                ):
+                    self._rollback_to_last_good(e)
+                    continue
+                raise
             _, val_loss = self.evaluate("val")
             dt = _time.time() - t0
             self.logger.log(
