@@ -169,6 +169,7 @@ def _block_apply(
     rng: jax.Array | None,
     use_pallas: bool = False,
     ell=None,
+    halo=None,
 ):
     B, N, F, T = x.shape
     if F == 1:
@@ -233,7 +234,26 @@ def _block_apply(
         )
 
         bias = adj_pa[None] * p["cheb"]["masks"]
-        if isinstance(ell, BlockEllGraph):
+        if halo is not None and not isinstance(ell, BlockEllGraph):
+            # Node-partitioned path: SAt SDDMM + Chebyshev aggregation run
+            # per-shard under shard_map with a targeted all_to_all halo of
+            # boundary rows (parallel/graph_partition.py). The global score
+            # map is never materialized.
+            from dstagnn_drought_tpu.parallel.graph_partition import (
+                halo_partitioned_sparse_conv,
+            )
+
+            mesh_, plan_ = halo
+            STAt = jnp.zeros((), x.dtype)
+            spatial_gcn = halo_partitioned_sparse_conv(
+                mesh_, SEmx, x, plan_,
+                cheb_edges=gather_edge_values(cheb_polys, ell),
+                bias_edges=gather_edge_values(bias, ell),
+                thetas=p["cheb"]["thetas"],
+                wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                n_heads=spec.K, d_k=spec.d_k,
+            )
+        elif isinstance(ell, BlockEllGraph):
             # Block-sparse (BELL) scaling path: per-active-tile SDDMM and
             # aggregation as dense 128×128 MXU matmuls (ops/block_sparse.py);
             # work scales with active blocks, not N². With use_pallas the
@@ -346,6 +366,7 @@ def apply(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
     ell=None,
+    halo=None,
     return_attention: bool = False,
 ) -> jax.Array:
     """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict).
@@ -372,7 +393,7 @@ def apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
-            ell=ell,
+            ell=ell, halo=halo,
         )
         outs.append(x)
         spatial_maps.append(stat)

@@ -42,6 +42,55 @@ def test_model_sparse_forward(rng):
     assert not np.allclose(np.asarray(out), np.asarray(dense))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_model_halo_partitioned_matches_sparse(rng):
+    """Full model forward, node-partitioned with targeted halo exchange,
+    must reproduce the single-device sparse path exactly."""
+    import functools
+
+    from dstagnn_drought_tpu.parallel.graph_partition import build_halo_plan
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+    from dstagnn_drought_tpu.training.step import make_optimizer, make_train_step
+
+    mesh = make_mesh(2, 4)
+    g = mesh.shape["graph"]
+    N, B = 16, 4
+    spec = ModelSpec(
+        num_of_vertices=N, len_input=12, num_for_predict=4, num_of_d=1,
+        nb_block=2, in_channels=1, K=3, nb_chev_filter=8, nb_time_filter=8,
+        d_model=16, d_k=8, n_heads=2,
+    )
+    A, pa = graphs(rng, N)
+    params, consts = make_model(jax.random.PRNGKey(0), spec, A, pa)
+    ell = ell_from_adjacency(A)
+    plan = build_halo_plan(ell, g)
+    x = jnp.asarray(rng.normal(size=(B, N, 1, 12)), jnp.float32)
+
+    ref = apply(params, x, spec=spec, adj_pa=consts["adj_pa"],
+                cheb_polys=consts["cheb_polys"], ell=ell)
+    got = apply(params, x, spec=spec, adj_pa=consts["adj_pa"],
+                cheb_polys=consts["cheb_polys"], ell=ell,
+                halo=(mesh, plan))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # one full training step (fwd+bwd+Adam through the all_to_all) runs and
+    # produces a finite loss
+    opt = make_optimizer(1e-3)
+    consts2 = dict(consts, ell=ell)
+    step = make_train_step(
+        spec, opt, mesh=mesh,
+        apply_fn=functools.partial(apply, halo=(mesh, plan)),
+    )
+    opt_state = opt.init(params)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    y = jnp.asarray(rng.normal(size=(B, N, 4)), jnp.float32)
+    params2, _, _, loss = step(
+        params, opt_state, jax.random.PRNGKey(1), x, y, idx, consts2
+    )
+    assert np.isfinite(float(loss))
+
+
 def _gambia_shaped_config(N, F):
     # mirrors configurations/GAMBIA_dstagnn.conf structure at toy scale:
     # in_channels=4, nb_block=2, K=2, n_heads=2 (reference conf:16-23)
