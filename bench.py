@@ -64,7 +64,9 @@ def main():
     from dstagnn_drought_tpu.training.step import make_epoch_runner
 
     runner = make_epoch_runner(spec, optimizer, compute_dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(1)
+    # dropout rng on the TPU hardware bit generator (the trainer default,
+    # config.prng_impl) — threefry costs ~17% of the step at this scale
+    key = jax.random.key(1, impl="rbg")
     steps_per_epoch = -(-PEMS08_TRAIN_SAMPLES // BATCH)
     idx_plan = jnp.asarray(
         (np.arange(steps_per_epoch * BATCH) % n_total)

@@ -76,6 +76,13 @@ class TrainingConfig:
                                     # checkpoint, halve LR, retry; abort after
                                     # max_rollbacks)
     max_rollbacks: int = 2
+    prng_impl: str = "rbg"          # training-rng (dropout) bit generator:
+                                    # "rbg" = TPU hardware RNG (~17% faster
+                                    # train step than threefry at PEMS08
+                                    # scale) | "threefry" = splittable
+                                    # counter-based, bit-reproducible across
+                                    # backends. Param INIT always uses
+                                    # threefry, so weights are impl-invariant.
 
     def __post_init__(self):
         if self.d_v < 0:

@@ -59,9 +59,19 @@ def temporal_attention(
       scores (B, F, H, T, T) raw (pre-softmax, incl. res_att) for threading.
     """
     B, F, T, N = x.shape
-    q = jnp.einsum("bftn,nh->bfth", x, wq).reshape(B, F, T, n_heads, d_k)
-    k = jnp.einsum("bftn,nh->bfth", x, wk).reshape(B, F, T, n_heads, d_k)
-    v = jnp.einsum("bftn,nh->bfth", x, wv).reshape(B, F, T, n_heads, d_v)
+    # One fused QKV projection: a single (N, H·(2d_k+d_v)) matmul instead of
+    # three skinny ones — fewer dispatches, better MXU lane utilization, and
+    # one fused dW matmul in the backward (the concat of the small weight
+    # matrices is constant-folded per step). Parameters stay separate for
+    # reference state_dict parity.
+    qkv = jnp.einsum(
+        "bftn,nh->bfth", x, jnp.concatenate([wq, wk, wv], axis=1)
+    )
+    q, k, v = (
+        qkv[..., : n_heads * d_k].reshape(B, F, T, n_heads, d_k),
+        qkv[..., n_heads * d_k : 2 * n_heads * d_k].reshape(B, F, T, n_heads, d_k),
+        qkv[..., 2 * n_heads * d_k :].reshape(B, F, T, n_heads, d_v),
+    )
 
     # (B, F, H, T_q, T_k)
     scores = jnp.einsum("bfqhd,bfkhd->bfhqk", q, k) / jnp.sqrt(
@@ -100,8 +110,12 @@ def spatial_attention_scores(
     One head per Chebyshev order; no softmax here (reference :19-22).
     """
     B, N, _ = x.shape
-    q = jnp.einsum("bnd,dh->bnh", x, wq).reshape(B, N, n_heads, d_k)
-    k = jnp.einsum("bnd,dh->bnh", x, wk).reshape(B, N, n_heads, d_k)
+    # Fused Q‖K projection — one (d_model, 2·K·d_k) matmul (see the temporal
+    # attention note); this matmul pair is the single most expensive op pair
+    # in the train-step profile (benchmarks/op_profile.py).
+    qk = jnp.einsum("bnd,dh->bnh", x, jnp.concatenate([wq, wk], axis=1))
+    q = qk[..., : n_heads * d_k].reshape(B, N, n_heads, d_k)
+    k = qk[..., n_heads * d_k :].reshape(B, N, n_heads, d_k)
     scores = jnp.einsum("bihd,bjhd->bhij", q, k) / jnp.sqrt(jnp.asarray(d_k, x.dtype))
     if mask is not None:
         scores = jnp.where(mask, jnp.asarray(-1e9, scores.dtype), scores)

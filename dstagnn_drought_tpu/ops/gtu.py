@@ -41,6 +41,10 @@ def gtu(
     """Gated temporal conv. x: (B, C, N, T); w: (2C, C, 1, k); b: (2C,).
 
     Returns (B, C, N, (T-k)//time_strides + 1).
+
+    Note: an im2col + single-matmul variant was measured ~2% SLOWER end to
+    end than conv_general on v5e at these shapes (the window stack's
+    concatenate outweighs the friendlier dW matmul) — keep the conv.
     """
     y = conv2d_nchw(x, w, b, stride=(1, time_strides))
     p = y[:, :in_channels]

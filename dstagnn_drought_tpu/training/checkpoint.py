@@ -76,10 +76,12 @@ def save_checkpoint(
     flat = {f"params/{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
         flat.update({f"opt/{k}": v for k, v in _flatten(opt_state).items()})
+    meta = {"epoch": epoch, **(metadata or {})}
     if rng is not None:
         flat["rng"] = np.asarray(jax.random.key_data(rng))
+        # record the bit-generator so restore rebuilds the same key type
+        meta["rng_impl"] = str(jax.random.key_impl(rng))
     np.savez(base + ".params.npz", **flat)
-    meta = {"epoch": epoch, **(metadata or {})}
     with open(base + ".meta.json", "w") as f:
         json.dump(meta, f)
     return base + ".params.npz"
@@ -103,14 +105,16 @@ def restore_checkpoint(
         opt_flat = {k[len("opt/"):]: v for k, v in data.items() if k.startswith("opt/")}
         if opt_flat:
             opt_state = _unflatten(opt_state_template, opt_flat)
-    rng = None
-    if "rng" in data:
-        rng = jax.random.wrap_key_data(data["rng"])
     meta_path = path.replace(".params.npz", ".meta.json")
     metadata = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             metadata = json.load(f)
+    rng = None
+    if "rng" in data:
+        rng = jax.random.wrap_key_data(
+            data["rng"], impl=metadata.get("rng_impl", "threefry2x32")
+        )
     return params, opt_state, rng, metadata
 
 

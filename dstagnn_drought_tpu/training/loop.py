@@ -85,6 +85,10 @@ class Trainer:
         self.params, self.constants = self.family.make_model(
             init_key, self.spec, adj_merge, adj_pa
         )
+        if t.prng_impl != "threefry":
+            # Training rng (dropout) on the fast generator; init above stays
+            # threefry so weights are identical whatever prng_impl is set.
+            key = jax.random.key(t.seed, impl=t.prng_impl)
         if t.sparse and t.model_name != "dstagnn":
             raise ValueError(
                 f"sparse mode is a dstagnn-family path; got model_name="

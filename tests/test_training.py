@@ -105,7 +105,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         jax.random.key_data(key), jax.random.key_data(key2)
     )
-    assert meta == {"epoch": 7, "best_val": 0.5}
+    assert meta == {"epoch": 7, "best_val": 0.5, "rng_impl": "threefry2x32"}
     assert ckpt.latest_checkpoint(str(tmp_path)) == path
 
 
