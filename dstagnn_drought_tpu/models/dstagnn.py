@@ -170,6 +170,7 @@ def _block_apply(
     use_pallas: bool = False,
     ell=None,
     halo=None,
+    fuse_tat: bool = False,
 ):
     B, N, F, T = x.shape
     if F == 1:
@@ -191,19 +192,33 @@ def _block_apply(
     ):
         res_att = res_att.mean(axis=1, keepdims=True)
 
-    TATout, re_at = temporal_attention(
-        TEmx,
-        res_att,
-        wq=p["tat"]["wq"],
-        wk=p["tat"]["wk"],
-        wv=p["tat"]["wv"],
-        wo=p["tat"]["wo"],
-        ln_scale=p["tat"]["ln_scale"],
-        ln_bias=p["tat"]["ln_bias"],
-        n_heads=spec.n_heads,
-        d_k=spec.d_k,
-        d_v=spec.d_v,
-    )
+    if fuse_tat:
+        from dstagnn_drought_tpu.ops.pallas.tat_fused import (
+            fused_temporal_attention,
+        )
+
+        TATout, re_at = fused_temporal_attention(
+            TEmx, res_att,
+            pos=None, ln0_scale=None, ln0_bias=None,
+            wq=p["tat"]["wq"], wk=p["tat"]["wk"], wv=p["tat"]["wv"],
+            wo=p["tat"]["wo"],
+            ln_scale=p["tat"]["ln_scale"], ln_bias=p["tat"]["ln_bias"],
+            n_heads=spec.n_heads, d_k=spec.d_k, d_v=spec.d_v,
+        )
+    else:
+        TATout, re_at = temporal_attention(
+            TEmx,
+            res_att,
+            wq=p["tat"]["wq"],
+            wk=p["tat"]["wk"],
+            wv=p["tat"]["wv"],
+            wo=p["tat"]["wo"],
+            ln_scale=p["tat"]["ln_scale"],
+            ln_bias=p["tat"]["ln_bias"],
+            n_heads=spec.n_heads,
+            d_k=spec.d_k,
+            d_v=spec.d_v,
+        )
 
     # pre_conv (reference :232, :207): Conv2d(T→d_model, kernel (1,F)) on
     # (B,T,N,F) — a per-node linear map over (T,F), expressed as an einsum.
@@ -367,6 +382,7 @@ def apply(
     use_pallas: bool = False,
     ell=None,
     halo=None,
+    fuse_tat: bool = False,
     return_attention: bool = False,
 ) -> jax.Array:
     """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict).
@@ -393,7 +409,7 @@ def apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
-            ell=ell, halo=halo,
+            ell=ell, halo=halo, fuse_tat=fuse_tat,
         )
         outs.append(x)
         spatial_maps.append(stat)
