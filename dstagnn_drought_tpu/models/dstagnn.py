@@ -171,6 +171,7 @@ def _block_apply(
     ell=None,
     halo=None,
     fuse_tat: bool = False,
+    fuse_spatial: bool = False,
 ):
     B, N, F, T = x.shape
     if F == 1:
@@ -220,22 +221,49 @@ def _block_apply(
             d_v=spec.d_v,
         )
 
-    # pre_conv (reference :232, :207): Conv2d(T→d_model, kernel (1,F)) on
-    # (B,T,N,F) — a per-node linear map over (T,F), expressed as an einsum.
-    x_tat = (
-        jnp.einsum("bftn,dtf->bnd", TATout, p["pre_conv"]["w"][:, :, 0, :])
-        + p["pre_conv"]["b"]
-    )
-
-    se = x_tat + p["embed_s"]["pos"][None]
-    SEmx = layer_norm(se, p["embed_s"]["ln_scale"], p["embed_s"]["ln_bias"])
     if rng is not None:
         rng, k1, k2 = jax.random.split(rng, 3)
     else:
         k1 = k2 = None
-    SEmx = dropout(SEmx, spec.dropout_rate, k1, deterministic)
 
-    if ell is not None:
+    if fuse_spatial and ell is None and halo is None:
+        # One Pallas kernel for the whole spatial middle: pre_conv → EmbedS
+        # LN → dropout → SAt SDDMM → source-axis softmax+bias → Chebyshev
+        # aggregation → Θ mix → ReLU (ops/pallas/block_spatial_fused.py).
+        from dstagnn_drought_tpu.ops.pallas.block_spatial_fused import (
+            fused_spatial_middle,
+        )
+
+        STAt = jnp.zeros((), x.dtype)  # not materialized by the kernel
+        spatial_gcn = fused_spatial_middle(
+            TATout, x,
+            pre_w=p["pre_conv"]["w"], pre_b=p["pre_conv"]["b"],
+            pos=p["embed_s"]["pos"],
+            ln_scale=p["embed_s"]["ln_scale"],
+            ln_bias=p["embed_s"]["ln_bias"],
+            wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+            adj_pa=adj_pa, masks=p["cheb"]["masks"],
+            cheb_polys=cheb_polys, thetas=p["cheb"]["thetas"],
+            K=spec.K, d_k=spec.d_k,
+            dropout_rate=0.0 if deterministic else spec.dropout_rate,
+            dropout_key=k1,
+        )
+        SEmx = None
+    else:
+        # pre_conv (reference :232, :207): Conv2d(T→d_model, kernel (1,F)) on
+        # (B,T,N,F) — a per-node linear map over (T,F), expressed as an einsum.
+        x_tat = (
+            jnp.einsum("bftn,dtf->bnd", TATout, p["pre_conv"]["w"][:, :, 0, :])
+            + p["pre_conv"]["b"]
+        )
+
+        se = x_tat + p["embed_s"]["pos"][None]
+        SEmx = layer_norm(se, p["embed_s"]["ln_scale"], p["embed_s"]["ln_bias"])
+        SEmx = dropout(SEmx, spec.dropout_rate, k1, deterministic)
+
+    if SEmx is None:
+        pass  # fused path produced spatial_gcn above
+    elif ell is not None:
         from dstagnn_drought_tpu.ops.block_sparse import (
             BlockEllGraph,
             block_sparse_cheb_conv_with_sat,
@@ -383,6 +411,7 @@ def apply(
     ell=None,
     halo=None,
     fuse_tat: bool = False,
+    fuse_spatial: bool = False,
     return_attention: bool = False,
 ) -> jax.Array:
     """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict).
@@ -409,7 +438,7 @@ def apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
-            ell=ell, halo=halo, fuse_tat=fuse_tat,
+            ell=ell, halo=halo, fuse_tat=fuse_tat, fuse_spatial=fuse_spatial,
         )
         outs.append(x)
         spatial_maps.append(stat)
