@@ -70,6 +70,17 @@ class TrainingConfig:
     max_degree: int = 0             # ell: cap on in-degree (0 = graph max)
     data_axis: int = 1              # mesh axis sizes; 1 = single chip
     graph_axis: int = 1
+    halo: str = "gather"            # node-partition halo strategy when
+                                    # sparse & graph_axis > 1: "gather"
+                                    # (all_gather all source rows; GSPMD-
+                                    # equivalent volume) | "targeted"
+                                    # (precomputed boundary-row all_to_all,
+                                    # parallel/graph_partition.py; requires
+                                    # num_of_vertices % graph_axis == 0)
+    fuse_tat: bool = False          # fused temporal-attention Pallas kernel
+    fuse_spatial: bool = False      # fused spatial-middle Pallas kernel
+                                    # (both measured ≈ XLA at PEMS scale —
+                                    # see BENCH_NOTES.md; for experimentation)
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
     tensorboard: bool = False       # also write TensorBoard scalars to <run_dir>/tb
     nan_policy: str = "abort"       # "abort" | "rollback" (restore last good

@@ -115,13 +115,52 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.rng = key
 
+        if mesh is None and (t.data_axis > 1 or t.graph_axis > 1):
+            from dstagnn_drought_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(t.data_axis, t.graph_axis)
+        self.mesh = mesh
+
+        apply_fn = self.family.apply
+        apply_extra = {}
+        if (t.fuse_tat or t.fuse_spatial) and t.model_name != "dstagnn":
+            raise ValueError(
+                "fuse_tat/fuse_spatial are dstagnn-family kernels; got "
+                f"model_name={t.model_name!r}"
+            )
+        if t.fuse_tat:
+            apply_extra["fuse_tat"] = True
+        if t.fuse_spatial:
+            apply_extra["fuse_spatial"] = True
+        if (
+            t.sparse and t.halo == "targeted" and mesh is not None
+            and t.graph_axis > 1 and t.sparse_format == "ell"
+        ):
+            # targeted boundary-row halo exchange over the 'graph' axis
+            from dstagnn_drought_tpu.parallel.graph_partition import (
+                build_halo_plan,
+            )
+
+            n = cfg.data.num_of_vertices
+            if n % t.graph_axis:
+                raise ValueError(
+                    f"halo='targeted' needs num_of_vertices ({n}) divisible "
+                    f"by graph_axis ({t.graph_axis}); use halo='gather'"
+                )
+            plan = build_halo_plan(self.constants["ell"], t.graph_axis)
+            apply_extra["halo"] = (mesh, plan)
+        if apply_extra:
+            import functools
+
+            apply_fn = functools.partial(apply_fn, **apply_extra)
+
         compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else jnp.float32
         step_kw = dict(
             compute_dtype=compute_dtype,
             use_pallas=t.use_pallas,
             mesh=mesh,
             shard_nodes=t.graph_axis > 1 if mesh is not None else False,
-            apply_fn=self.family.apply,
+            apply_fn=apply_fn,
         )
         self._step_kw = step_kw
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)

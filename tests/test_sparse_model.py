@@ -105,6 +105,66 @@ def _gambia_shaped_config(N, F):
     ).validate()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_targeted_halo_config(tmp_path, rng):
+    """Config-driven node partitioning: sparse + graph_axis=4 +
+    halo='targeted' trains end to end over the (data, graph) mesh."""
+    N, F = 16, 1
+    A, pa = graphs(rng, N)
+    n = 32
+    x = rng.normal(size=(n, N, F, 12)).astype(np.float32)
+    y = np.repeat(x[:, :, -1, :].mean(axis=2, keepdims=True), 6, axis=2).astype(
+        np.float32
+    )
+    sp = lambda s: Split(x[s], y[s])
+    ds = ArrayDataset(
+        train=sp(slice(0, 24)), val=sp(slice(24, 28)), test=sp(slice(28, 32)),
+        mean=np.zeros((1, 1, F, 1)), std=np.ones((1, 1, F, 1)),
+    )
+    cfg = Config(
+        data=DataConfig(num_of_vertices=N, len_input=12, num_for_predict=6,
+                        dataset_name="HALO_TOY"),
+        training=TrainingConfig(
+            in_channels=F, nb_block=2, n_heads=2, K=2, d_k=8, d_model=16,
+            nb_chev_filter=8, nb_time_filter=8, batch_size=8,
+            epochs=2, learning_rate=3e-3, sparse=True,
+            data_axis=2, graph_axis=4, halo="targeted",
+        ),
+    ).validate()
+    trainer = Trainer(cfg, dataset=ds, adj_merge=A, adj_pa=pa,
+                      experiments_root=str(tmp_path))
+    assert trainer.mesh is not None
+    assert trainer.mesh.shape == {"data": 2, "graph": 4}
+    result = trainer.run()
+    assert np.isfinite(result["test_loss"])
+
+
+def test_trainer_halo_requires_divisible_nodes(tmp_path, rng):
+    N, F = 14, 1  # 14 % 4 != 0
+    A, pa = graphs(rng, N)
+    cfg = Config(
+        data=DataConfig(num_of_vertices=N, len_input=12, num_for_predict=6,
+                        dataset_name="HALO_BAD"),
+        training=TrainingConfig(
+            in_channels=F, nb_block=2, n_heads=2, K=2, d_k=8, d_model=16,
+            nb_chev_filter=8, nb_time_filter=8, batch_size=8,
+            epochs=1, learning_rate=3e-3, sparse=True,
+            data_axis=2, graph_axis=4, halo="targeted",
+        ),
+    ).validate()
+    n = 16
+    x = rng.normal(size=(n, N, F, 12)).astype(np.float32)
+    y = x[:, :, 0, :6]
+    sp = lambda s: Split(x[s], y[s])
+    ds = ArrayDataset(
+        train=sp(slice(0, 8)), val=sp(slice(8, 12)), test=sp(slice(12, 16)),
+        mean=np.zeros((1, 1, F, 1)), std=np.ones((1, 1, F, 1)),
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cfg, dataset=ds, adj_merge=A, adj_pa=pa,
+                experiments_root=str(tmp_path))
+
+
 def test_trainer_gambia_shaped_sparse(tmp_path, rng):
     N, F = 16, 4
     A, pa = graphs(rng, N)
