@@ -65,6 +65,66 @@ def test_forward_parity(ref_model_and_inputs):
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=2e-4)
 
 
+def test_training_trajectory_parity(ref_model_and_inputs):
+    """Few-step loss-curve tracking vs the reference (SURVEY.md §4): same
+    weights, same data, SmoothL1 + Adam on both sides → per-step losses
+    agree. Dropout disabled on both sides (eval-mode reference / our
+    deterministic flag) so the trajectories are comparable."""
+    import optax
+
+    from dstagnn_drought_tpu.ops.nn import smooth_l1_loss
+    from dstagnn_drought_tpu.training.step import make_optimizer
+
+    net, spec, pa, x = ref_model_and_inputs
+    rng = np.random.default_rng(11)
+    y = rng.normal(size=(x.shape[0], spec.num_of_vertices,
+                         spec.num_for_predict)).astype(np.float32)
+    lr = 1e-3
+    steps = 5
+
+    # ---- reference side (fresh copy of the weights) ----
+    import copy
+
+    ref_net = copy.deepcopy(net)
+    ref_net.eval()  # dropout off; grads still flow
+    criterion = torch.nn.SmoothL1Loss()
+    opt = torch.optim.Adam(ref_net.parameters(), lr=lr)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    ref_losses = []
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = criterion(ref_net(xt), yt)
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # ---- our side, same initial weights ----
+    params = import_torch_state_dict(net.state_dict(), spec)
+    polys = jnp.stack([
+        jnp.asarray(t.numpy())
+        for t in net.BlockList[0].cheb_conv_SAt.cheb_polynomials
+    ])
+    consts = dict(adj_pa=jnp.asarray(pa, jnp.float32), cheb_polys=polys)
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p):
+        pred = apply(p, jnp.asarray(x), spec=spec, deterministic=True,
+                     **consts)
+        return smooth_l1_loss(pred, jnp.asarray(y))
+
+    our_losses = []
+    for _ in range(steps):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-4)
+    # trajectories must actually move (guard against vacuous agreement)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
 def test_parity_is_sensitive(ref_model_and_inputs):
     """Guard against vacuous parity: perturbing one weight must change output."""
     net, spec, pa, x = ref_model_and_inputs
