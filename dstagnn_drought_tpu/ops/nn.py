@@ -27,9 +27,25 @@ def dropout(x: jax.Array, rate: float, key: jax.Array | None, deterministic: boo
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def smooth_l1_loss(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
+def smooth_l1_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    beta: float = 1.0,
+    sample_weights: jax.Array | None = None,
+) -> jax.Array:
     """torch ``nn.SmoothL1Loss`` (mean reduction, beta=1) — the reference's
-    training criterion (train_DSTAGNN_my.py:132)."""
+    training criterion (train_DSTAGNN_my.py:132).
+
+    ``sample_weights`` (B,) masks padded samples out of the reduction: the
+    batch plan pads the final batch to a static shape, and without the mask
+    the padding samples would be silently over-weighted in every epoch.
+    With all-ones weights this is exactly the unweighted elementwise mean
+    (every sample has the same element count).
+    """
     diff = jnp.abs(pred - target)
     loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
-    return loss.mean()
+    if sample_weights is None:
+        return loss.mean()
+    per_sample = loss.reshape(loss.shape[0], -1).mean(axis=1)
+    w = sample_weights.astype(per_sample.dtype)
+    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)

@@ -31,6 +31,7 @@ from dstagnn_drought_tpu.training.logger import MetricLogger
 from dstagnn_drought_tpu.training.metrics import horizon_report
 from dstagnn_drought_tpu.training.step import (
     make_epoch_runner,
+    make_eval_runner,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -166,6 +167,7 @@ class Trainer:
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
         self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **step_kw)
         self.eval_step = make_eval_step(self.spec, **step_kw)
+        self.eval_runner = make_eval_runner(self.spec, **step_kw)
         self._lr_scale = 1.0
         self._rollbacks = 0
 
@@ -182,12 +184,22 @@ class Trainer:
         self.best_epoch = -1
         self.epoch = t.start_epoch
 
-        # device-resident splits
+        # Device-resident splits. On a mesh, the node axis of the full split
+        # is sharded over 'graph' (matching the in-step activation layout, so
+        # the per-batch gather is local); the sample axis stays replicated —
+        # batches are assembled by arbitrary shuffled gathers, which a
+        # sample-sharded layout would turn into all-to-all traffic.
+        split_sharding = None
+        if mesh is not None and t.graph_axis > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            split_sharding = NamedSharding(mesh, P(None, "graph"))
         self._device_splits = {}
         for name in ("train", "val", "test"):
             split = getattr(dataset, name)
             self._device_splits[name] = (
-                jax.device_put(split.x), jax.device_put(split.target)
+                jax.device_put(split.x, split_sharding),
+                jax.device_put(split.target, split_sharding),
             )
 
     # ------------------------------------------------------------------
@@ -216,12 +228,18 @@ class Trainer:
         """One epoch = ONE device dispatch (lax.scan over the batch plan)."""
         t = self.cfg.training
         x_full, y_full = self._device_splits["train"]
-        idx, _ = self.dataset.batch_indices(
+        idx, n_valid = self.dataset.batch_indices(
             "train", t.batch_size, shuffle=True, seed=t.seed * 100003 + epoch
         )
+        # padded tail rows get zero loss weight (the plan repeats index 0 to
+        # keep shapes static; without the mask those samples are silently
+        # over-weighted every epoch)
+        weights = (np.arange(idx.size) < n_valid).astype(np.float32)
+        weights = weights.reshape(idx.shape)
         self.params, self.opt_state, self.rng, losses = self.epoch_runner(
             self.params, self.opt_state, self.rng,
             x_full, y_full, jnp.asarray(idx), self.constants,
+            jnp.asarray(weights),
         )
         mean_loss = float(jnp.mean(losses))
         if math.isnan(mean_loss):
@@ -232,21 +250,24 @@ class Trainer:
         return mean_loss
 
     def evaluate(self, split: str) -> tuple[np.ndarray, float]:
-        """Predictions (true length) and mean loss over a split."""
+        """Predictions (true length) and mean loss over a split.
+
+        One device dispatch for the whole split (scan over the batch plan);
+        padded tail rows are sliced off the predictions and masked out of the
+        loss mean.
+        """
         t = self.cfg.training
         x_full, y_full = self._device_splits[split]
         idx, n_valid = self.dataset.batch_indices(
             split, t.batch_size, shuffle=False
         )
-        preds, losses = [], []
-        for b in range(idx.shape[0]):
-            pred, loss = self.eval_step(
-                self.params, x_full, y_full, jnp.asarray(idx[b]), self.constants
-            )
-            preds.append(pred)
-            losses.append(loss)
-        pred = np.concatenate([np.asarray(p) for p in preds], axis=0)[:n_valid]
-        return pred, float(jnp.mean(jnp.stack(losses)))
+        preds, losses = self.eval_runner(
+            self.params, x_full, y_full, jnp.asarray(idx), self.constants
+        )
+        preds = np.asarray(preds, np.float32)
+        pred = preds.reshape(-1, *preds.shape[2:])[:n_valid]
+        per_sample = np.asarray(losses, np.float32).reshape(-1)[:n_valid]
+        return pred, float(per_sample.mean())
 
     def attention_maps(self, split: str = "test", sample: int = 24) -> list:
         """Per-block raw spatial attention for one sample (the reference's
@@ -368,6 +389,9 @@ class Trainer:
         )
         np.savez(
             os.path.join(self.run_dir, f"output_epoch_{self.best_epoch}_test.npz"),
+            # the reference's dump also saves the model input
+            # (lib/utils1.py:458-481) — keep the key names it uses
+            input=self.dataset.test.x,
             prediction=pred, data_target_tensor=self.dataset.test.target,
         )
         return {"test_loss": test_loss, "report": report,

@@ -42,7 +42,7 @@ def make_train_step(
     (params, opt_state, rng, loss). x_full/y_full are the device-resident
     split arrays; idx is the (B,) batch index vector."""
 
-    def loss_fn(params, x, y, rng, constants):
+    def loss_fn(params, x, y, rng, constants, weights=None):
         pred = apply_fn(
             params, x,
             spec=spec,
@@ -54,14 +54,16 @@ def make_train_step(
             use_pallas=use_pallas,
             ell=constants.get("ell"),
         )
-        return smooth_l1_loss(pred, y)
+        return smooth_l1_loss(pred, y, sample_weights=weights)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rng, x_full, y_full, idx, constants):
+    def step(params, opt_state, rng, x_full, y_full, idx, constants, weights=None):
         x = constrain_batch(x_full[idx], mesh, shard_nodes)
         y = constrain_batch(y_full[idx], mesh, shard_nodes)
         rng, sub = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, sub, constants)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, sub, constants, weights
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, rng, loss
@@ -88,7 +90,7 @@ def make_epoch_runner(
     → (params, opt_state, rng, losses) with losses shaped (num_batches,).
     """
 
-    def loss_fn(params, x, y, rng, constants):
+    def loss_fn(params, x, y, rng, constants, weights):
         pred = apply_fn(
             params, x,
             spec=spec,
@@ -100,22 +102,29 @@ def make_epoch_runner(
             use_pallas=use_pallas,
             ell=constants.get("ell"),
         )
-        return smooth_l1_loss(pred, y)
+        return smooth_l1_loss(pred, y, sample_weights=weights)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, rng, x_full, y_full, idx_plan, constants):
-        def body(carry, idx):
+    def run(params, opt_state, rng, x_full, y_full, idx_plan, constants,
+            weight_plan=None):
+        if weight_plan is None:
+            weight_plan = jnp.ones(idx_plan.shape, jnp.float32)
+
+        def body(carry, batch):
+            idx, w = batch
             params, opt_state, rng = carry
             x = constrain_batch(x_full[idx], mesh, shard_nodes)
             y = constrain_batch(y_full[idx], mesh, shard_nodes)
             rng, sub = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, sub, constants)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, y, sub, constants, w
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
 
         (params, opt_state, rng), losses = jax.lax.scan(
-            body, (params, opt_state, rng), idx_plan
+            body, (params, opt_state, rng), (idx_plan, weight_plan)
         )
         return params, opt_state, rng, losses
 
@@ -150,6 +159,50 @@ def make_eval_step(
         return pred, smooth_l1_loss(pred, y)
 
     return eval_step
+
+
+def make_eval_runner(
+    spec: ModelSpec,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    mesh=None,
+    shard_nodes: bool = True,
+    apply_fn=apply,
+):
+    """Whole-split evaluation as ONE jitted program: ``lax.scan`` over the
+    batch-index plan (the per-batch dispatch variant syncs with the host once
+    per batch — the same anti-pattern the train loop avoids).
+
+    Returns run(params, x_full, y_full, idx_plan, constants) →
+    (preds (nb, B, ...), per_sample_loss (nb, B)). Padded rows are included;
+    the caller slices to the true sample count and masks the loss mean.
+    """
+
+    @jax.jit
+    def run(params, x_full, y_full, idx_plan, constants):
+        def body(_, idx):
+            x = constrain_batch(x_full[idx], mesh, shard_nodes)
+            y = y_full[idx]
+            pred = apply_fn(
+                params, x,
+                spec=spec,
+                adj_pa=constants["adj_pa"],
+                cheb_polys=constants["cheb_polys"],
+                deterministic=True,
+                compute_dtype=compute_dtype,
+                use_pallas=use_pallas,
+                ell=constants.get("ell"),
+            )
+            diff = jnp.abs(pred.astype(jnp.float32) - y)
+            huber = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+            per_sample = huber.reshape(huber.shape[0], -1).mean(axis=1)
+            return None, (pred, per_sample)
+
+        _, (preds, losses) = jax.lax.scan(body, None, idx_plan)
+        return preds, losses
+
+    return run
 
 
 def tree_size_bytes(tree: Any) -> int:

@@ -69,6 +69,82 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
 
 
+def test_padded_batch_gradients_match_unpadded(rng):
+    """The static batch plan pads the final batch by repeating index 0; the
+    loss mask must make the padded step's update identical to an unpadded
+    step over just the valid samples (VERDICT round-1 weak #3)."""
+    import dataclasses
+
+    import optax
+
+    spec = dataclasses.replace(SPEC, dropout_rate=0.0)
+    A, pa = graphs(rng)
+    params0, consts = make_model(jax.random.PRNGKey(0), spec, A, pa)
+    # SGD so the parameter delta is linear in the gradient (Adam's first step
+    # is sign-like and amplifies float noise on near-zero gradients)
+    optimizer = optax.sgd(1.0)
+    ds = make_toy_dataset(rng)
+    x_full = jnp.asarray(ds.train.x)
+    y_full = jnp.asarray(ds.train.target)
+    key = jax.random.PRNGKey(7)
+    step = make_train_step(spec, optimizer)
+
+    # the step donates params/opt_state buffers — give each call its own copy
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+
+    # padded: 10 valid samples in a batch of 16, tail repeats index 0
+    idx_padded = jnp.asarray([3, 5, 9, 1, 8, 2, 11, 4, 7, 6] + [0] * 6, jnp.int32)
+    w = jnp.asarray([1.0] * 10 + [0.0] * 6, jnp.float32)
+    paramsA = copy(params0)
+    pA, _, _, lossA = step(
+        paramsA, optimizer.init(paramsA), key, x_full, y_full, idx_padded,
+        consts, w,
+    )
+
+    # unpadded: the same 10 samples, no mask
+    idx_true = idx_padded[:10]
+    paramsB = copy(params0)
+    pB, _, _, lossB = step(
+        paramsB, optimizer.init(paramsB), key, x_full, y_full, idx_true, consts
+    )
+
+    assert float(lossA) == pytest.approx(float(lossB), rel=1e-6)
+    # params differ by lr·(grad difference): gradient equality up to the
+    # reduction-order noise of the two batch shapes
+    for a, b in zip(jax.tree_util.tree_leaves(pA), jax.tree_util.tree_leaves(pB)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_eval_runner_matches_per_batch_and_masks_padding(rng):
+    from dstagnn_drought_tpu.training.step import make_eval_runner
+
+    A, pa = graphs(rng)
+    params, consts = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
+    ds = make_toy_dataset(rng)
+    # 8 val samples, batch 3 → 3 batches, final padded by one repeat of idx 0
+    idx, n_valid = ds.batch_indices("val", 3, shuffle=False)
+    assert idx.shape == (3, 3) and n_valid == 8
+
+    runner = make_eval_runner(SPEC)
+    x_full, y_full = jnp.asarray(ds.val.x), jnp.asarray(ds.val.target)
+    preds, losses = runner(params, x_full, y_full, jnp.asarray(idx), consts)
+    pred = np.asarray(preds).reshape(-1, N, TP)[:n_valid]
+
+    ev = make_eval_step(SPEC)
+    ref = np.concatenate(
+        [np.asarray(ev(params, x_full, y_full, jnp.asarray(idx[b]), consts)[0])
+         for b in range(3)], axis=0,
+    )[:n_valid]
+    np.testing.assert_allclose(pred, ref, rtol=1e-6, atol=1e-6)
+
+    # masked mean loss == elementwise huber mean over the true samples only
+    diff = np.abs(pred - np.asarray(y_full)[idx.reshape(-1)[:n_valid]])
+    huber = np.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    masked_mean = np.asarray(losses).reshape(-1)[:n_valid].mean()
+    assert masked_mean == pytest.approx(huber.mean(), rel=1e-5)
+
+
 def test_eval_step_deterministic(rng):
     A, pa = graphs(rng)
     params, consts = make_model(jax.random.PRNGKey(0), SPEC, A, pa)
