@@ -52,6 +52,19 @@ class BlockEllGraph:
     block_mask: jax.Array  # (NJ, S) bool
     pattern: jax.Array     # (NJ, S, BS, BS) bool
     n_nodes: int           # true (unpadded) node count
+    # Flat active-tile list (built host-side by the factory; consumed by the
+    # fused Pallas kernel so its grid walks ONLY real tiles, in target-tile
+    # order). ``active_first/last[a]`` mark target-tile boundaries for the
+    # online-softmax state. ``adj_bool`` is the padded dense edge pattern,
+    # used to fold the -inf mask into the bias plane ahead of the kernel.
+    active_src: jax.Array | None = None    # (A,) int32 source block ids
+    active_tgt: jax.Array | None = None    # (A,) int32 target tile ids
+    active_first: jax.Array | None = None  # (A,) int32 0/1
+    active_last: jax.Array | None = None   # (A,) int32 0/1
+    tile_start: jax.Array | None = None    # (NJ,) int32 offset into active_*
+    tile_count: jax.Array | None = None    # (NJ,) int32 slots per target tile
+    adj_bool: jax.Array | None = None      # (Np, Np) bool
+    covered: bool = True   # every real target column has ≥1 in-edge
 
     @property
     def block_size(self) -> int:
@@ -69,12 +82,27 @@ class BlockEllGraph:
     def padded_nodes(self) -> int:
         return self.num_tiles * self.block_size
 
+    @property
+    def num_active(self) -> int:
+        return 0 if self.active_src is None else self.active_src.shape[0]
+
     def tree_flatten(self):
-        return (self.block_idx, self.block_mask, self.pattern), (self.n_nodes,)
+        return (
+            self.block_idx, self.block_mask, self.pattern, self.active_src,
+            self.active_tgt, self.active_first, self.active_last,
+            self.tile_start, self.tile_count, self.adj_bool,
+        ), (self.n_nodes, self.covered)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_nodes=aux[0])
+        (bi, bm, pat, a_src, a_tgt, a_first, a_last, t_start, t_count,
+         adj_bool) = children
+        return cls(
+            block_idx=bi, block_mask=bm, pattern=pat, n_nodes=aux[0],
+            active_src=a_src, active_tgt=a_tgt, active_first=a_first,
+            active_last=a_last, tile_start=t_start, tile_count=t_count,
+            adj_bool=adj_bool, covered=aux[1],
+        )
 
 
 def rcm_permutation(adj: np.ndarray) -> np.ndarray:
@@ -138,15 +166,37 @@ def block_ell_from_adjacency(
     block_idx = np.zeros((nb, S), dtype=np.int32)
     block_mask = np.zeros((nb, S), dtype=bool)
     pattern = np.zeros((nb, S, BS, BS), dtype=bool)
+    a_src: list[int] = []
+    a_tgt: list[int] = []
     for j in range(nb):
         srcs = np.nonzero(active[:, j])[0][:S]
         block_idx[j, : len(srcs)] = srcs
         block_mask[j, : len(srcs)] = True
         for s, sb in enumerate(srcs):
             pattern[j, s] = tiles[sb, :, j, :]
+        if len(srcs):
+            a_src.extend(int(s) for s in srcs)
+            a_tgt.extend([j] * len(srcs))
+        else:
+            # dummy entry so every output block is visited exactly once
+            # (only arises on graphs with edge-less target columns, where
+            # ``covered`` is False and the fused kernel refuses to run)
+            a_src.append(j)
+            a_tgt.append(j)
+    a_src_np = np.asarray(a_src, np.int32)
+    a_tgt_np = np.asarray(a_tgt, np.int32)
+    first = np.r_[True, a_tgt_np[1:] != a_tgt_np[:-1]].astype(np.int32)
+    last = np.r_[a_tgt_np[1:] != a_tgt_np[:-1], True].astype(np.int32)
+    t_count = np.bincount(a_tgt_np, minlength=nb).astype(np.int32)
+    t_start = np.r_[0, np.cumsum(t_count)[:-1]].astype(np.int32)
     return BlockEllGraph(
         jnp.asarray(block_idx), jnp.asarray(block_mask), jnp.asarray(pattern),
         n_nodes=n,
+        active_src=jnp.asarray(a_src_np), active_tgt=jnp.asarray(a_tgt_np),
+        active_first=jnp.asarray(first), active_last=jnp.asarray(last),
+        tile_start=jnp.asarray(t_start), tile_count=jnp.asarray(t_count),
+        adj_bool=jnp.asarray(Ap),
+        covered=bool(Ap[:, :n].any(axis=0).all()),
     )
 
 

@@ -9,18 +9,48 @@ dense path sits at the f32 matmul roofline, so the only way to cash in the
 sparsity is to never materialize anything: this kernel streams one active
 128×128 tile at a time through VMEM.
 
-Per (batch b, head/order h, target tile j) the kernel loops over the active
-source-block slots s (innermost grid dim) and maintains flash-attention
-style online-softmax state in VMEM scratch:
+Design history (v2–v5 measurements in BENCH_NOTES.md). The final design is
+the product of measured eliminations, each attacking the dominant cost left
+by the previous one:
 
-    scores  = Q_S·K_Jᵀ/√d_k + bias_tile          (SDDMM on the MXU)
-    masked  to the tile's true edge pattern (-inf elsewhere)
-    m, d    running column max / denominator      (online softmax)
-    acc    += (T_k ⊙ exp(scores−m))ᵀ · X_S        (SpMM on the MXU)
+  * grid = (B, M-tiles, NJ) — ONE step per target tile, output block index
+    is a pure grid coordinate (a scalar-driven output index defeats the
+    pipeline emitter's block-residency tracking: +7 MB store/reload per
+    step, measured in v3);
+  * the slot loop is **statically unrolled** in chunks of ≤4 (a dynamic
+    fori_loop serializes Mosaic's scheduling); slot validity is masking
+    (scores → -1e30), not control flow;
+  * a tile's slots are consecutive in the active list, so the pre-gathered
+    q and bias+cheb slot operands arrive as ONE contiguous multi-slot DMA
+    each (9 small DMAs/step measured ~30 µs of pure latency);
+  * slots are folded into the SpMM contraction dim — one matmul per head
+    per chunk, the f32 accumulator (VMEM scratch) is touched once;
+  * the **Θ channel mix and ReLU run in the kernel epilogue**: the output
+    is (B, Np, T·C_out) in the compute dtype — 3× smaller than the
+    per-head (B, H, Np, M) f32 intermediate, whose XLA consumer einsum
+    alone measured 3.8 ms at GAMBIA (more than the whole kernel). Features
+    are t-major (T blocks of C channels) so Θ mixes within an M-tile.
 
-and writes ``acc / d`` on the last slot. The source block id for slot
-(j, s) comes from scalar-prefetched ``block_idx`` feeding the BlockSpec
-index maps — the DMA engine fetches exactly the needed Q/X/bias/cheb tiles.
+Two numerical tricks:
+
+  * the **edge-pattern mask is folded into the bias plane** (off-pattern
+    entries = -1e30) by one cheap XLA `where` before the call, so the
+    kernel streams no pattern operand. Off-pattern columns of early slots
+    may transiently accumulate garbage (their running max is still -1e30 so
+    `exp` gives 1), but the first real edge rescales the accumulator by
+    exp(-1e30 - m_real) = 0 exactly — and every real target column has a
+    real edge because the graph includes self-loops
+    (``BlockEllGraph.covered``; the wrapper refuses otherwise).
+  * the SpMM runs at the x dtype (bf16 under mixed precision: double MXU
+    rate, half DMA) with f32 accumulation.
+
+Per slot s of target tile j the kernel computes, per head:
+
+    scores  = Q_S·K_Jᵀ/√d_k + masked_bias_tile    (SDDMM on the MXU)
+    m, d    running column max / denominator       (online softmax)
+    acc    += (T_k ⊙ exp(scores−m))ᵀ · X_S         (SpMM on the MXU)
+
+then finishes the tile with out = relu(Σ_h (acc_h/d_h) Θ_h).
 
 Semantics match ``ops.block_sparse.block_sparse_cheb_conv_with_sat`` (and so
 the ELL path): softmax over each target's true in-neighbourhood. Backward is
@@ -42,139 +72,392 @@ from dstagnn_drought_tpu.ops.block_sparse import BlockEllGraph
 _NEG = -1e30
 
 
-def _kernel(idx_ref, q_ref, k_ref, bias_ref, cheb_ref, pat_ref, x_ref,
-            o_ref, m_sc, d_sc):
-    s = pl.program_id(3)
-    h = pl.program_id(4)
-    ns = pl.num_programs(3)
-    inv_sqrt_dk = 1.0 / (k_ref.shape[-1] ** 0.5)
+def _make_kernel_single():
+    """Single-chunk kernel (every tile's slots fit one chunk — the banded /
+    RCM-ordered case). Grid is (batch-tile, target-tile, M-tile) with the
+    M-tile innermost: the normalized modulated weights w = T_k ⊙ softmax are
+    computed ONCE per target tile (at m == 0) and cached in scratch (bf16 —
+    the SpMM dtype), so M-tiles redo only the SpMM and Θ mix. A batch tile
+    is folded into each grid step to amortize the fixed per-step cost
+    (scalar work, DMA latency, pipeline sync — measured ~8 µs).
+    """
 
-    # Grid order (B, NJ, S, H), h innermost: the (BS, M) x block is resident
-    # across all heads, and the (H, BS, M) output block is resident across
-    # the whole (s, h) sweep of a target tile — the accumulator lives IN the
-    # output block, so x is fetched once per active tile, not once per head.
-    @pl.when(s == 0)
-    def _():
-        m_sc[h] = jnp.full_like(m_sc[h], _NEG)
-        d_sc[h] = jnp.zeros_like(d_sc[h])
-        o_ref[0, h] = jnp.zeros_like(o_ref[0, h])
+    def _kernel(start_ref, count_ref, src_ref,
+                k_ref, th_ref, q_hbm, bc_hbm, x_hbm,
+                o_ref,
+                q_sc, bc_sc, x_sc, w_sc, sem):
+        bb, j, mt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        BB, H, BS, dk = k_ref.shape[0], k_ref.shape[1], k_ref.shape[2], \
+            k_ref.shape[3]
+        SC, TM = x_sc.shape[0], x_sc.shape[-1]
+        C, Co = th_ref.shape[-2], th_ref.shape[-1]
+        nt = TM // C
+        start = start_ref[j]
+        count = count_ref[j]
+        inv_sqrt_dk = 1.0 / (dk ** 0.5)
+        window = pl.ds(start, SC)
 
-    q = q_ref[0, 0]             # (BS, dk) — source block rows
-    k = k_ref[0, 0]             # (BS, dk) — target tile rows
-    pat = pat_ref[0, 0]         # (BS_src, BS_tgt) 0/1
-    bias = bias_ref[0]          # (BS_src, BS_tgt)
-    cheb = cheb_ref[0]          # (BS_src, BS_tgt)
+        def xdma(u, bi):
+            src = src_ref[start + u]
+            return pltpu.make_async_copy(
+                x_hbm.at[bb * BB + bi, pl.ds(src * BS, BS),
+                         pl.ds(mt * TM, TM)],
+                x_sc.at[u, bi], sem.at[u * BB + bi, 2])
 
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_sqrt_dk + bias
-    scores = jnp.where(pat > 0, scores, _NEG)
+        for u in range(SC):
+            for bi in range(BB):
+                xdma(u, bi).start()
 
-    mx = jnp.max(scores, axis=0, keepdims=True)       # (1, BS_tgt)
-    m_prev = m_sc[h]
-    m_new = jnp.maximum(m_prev, mx)
-    scale = jnp.exp(m_prev - m_new)                   # (1, BS_tgt)
-    e = jnp.exp(scores - m_new) * pat                 # exact zero off-pattern
-    d_sc[h] = d_sc[h] * scale + jnp.sum(e, axis=0, keepdims=True)
-    w = cheb * e                                      # (BS_src, BS_tgt)
-    # the SpMM runs at the x dtype (bf16 under mixed-precision training —
-    # double MXU rate, half the DMA); accumulation stays f32
-    o_ref[0, h] = o_ref[0, h] * scale.T + jax.lax.dot_general(
-        w.astype(x_ref.dtype), x_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),   # wᵀ @ x
-        preferred_element_type=jnp.float32,
-    )
-    m_sc[h] = m_new
+        # weights are per-tile, not per-M-tile: build once, reuse for m > 0
+        @pl.when(mt == 0)
+        def _():
+            bcdma = pltpu.make_async_copy(
+                bc_hbm.at[window], bc_sc, sem.at[0, 0])
 
-    @pl.when(s == ns - 1)
-    def _():
-        denom = jnp.maximum(d_sc[h], 1e-30).T         # (BS_tgt, 1)
-        o_ref[0, h] = o_ref[0, h] / denom
+            def qdma(bi):
+                return pltpu.make_async_copy(
+                    q_hbm.at[bb * BB + bi, window], q_sc.at[bi],
+                    sem.at[bi, 1])
+
+            bcdma.start()
+            for bi in range(BB):
+                qdma(bi).start()
+            bcdma.wait()
+            for bi in range(BB):
+                qdma(bi).wait()
+            for bi in range(BB):
+                for h in range(H):
+                    k = k_ref[bi, h]               # (BS_tgt, dk) target rows
+                    scores = []
+                    for u in range(SC):
+                        q = q_sc[bi, u, h * dk:(h + 1) * dk]  # (dk, BS_src)
+                        s = jax.lax.dot_general(
+                            q, k,
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * inv_sqrt_dk + bc_sc[u, 0, h]  # -1e30 off-pattern
+                        # slot validity (tail past this tile's count)
+                        scores.append(jnp.where(u < count, s, _NEG))
+                    mx = scores[0].max(axis=0, keepdims=True)
+                    for s in scores[1:]:
+                        mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
+                    es = [jnp.exp(s - mx) for s in scores]
+                    den = sum(e.sum(axis=0, keepdims=True) for e in es)
+                    inv_d = 1.0 / jnp.maximum(den, 1e-30)   # (1, BS_tgt)
+                    w_sc[bi, h] = jnp.concatenate(
+                        [bc_sc[u, 1, h] * (es[u] * inv_d)
+                         for u in range(SC)],
+                        axis=0,
+                    ).astype(w_sc.dtype)           # (SC·BS_src, BS_tgt)
+
+        for u in range(SC):
+            for bi in range(BB):
+                xdma(u, bi).wait()
+
+        for bi in range(BB):
+            x_all = x_sc[:, bi].reshape(SC * BS, TM)
+            out = None
+            for h in range(H):
+                agg = jax.lax.dot_general(
+                    w_sc[bi, h], x_all,
+                    dimension_numbers=(((0,), (0,)), ((), ())),   # wᵀ @ x
+                    preferred_element_type=jnp.float32,
+                )                                      # (BS_tgt, TM)
+                # Θ mix via the transpose trick: Mosaic cannot split the
+                # lane dim, so put C on the sublane axis (cheap relayouts)
+                # and contract with ONE (Co, C) × (C, nt·BS) matmul.
+                a2 = agg.T.reshape(nt, C, BS).transpose(1, 0, 2).reshape(
+                    C, nt * BS
+                )
+                mix = jax.lax.dot_general(
+                    th_ref[h], a2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (Co, nt·BS)
+                out = mix if out is None else out + mix
+            o_ref[bi] = jnp.maximum(
+                out.reshape(Co, nt, BS).transpose(1, 0, 2).reshape(
+                    nt * Co, BS
+                ).T,
+                0.0,
+            ).astype(o_ref.dtype)
+
+    return _kernel
+
+
+def _make_kernel_chunked(n_chunks: int):
+    """General kernel for graphs whose tiles need several slot chunks:
+    online softmax across statically-unrolled chunks, f32 accumulator
+    scratch, batch tile of 1. Slot validity inside a chunk is score
+    masking; whole chunks are skipped with pl.when.
+    """
+
+    def _kernel(start_ref, count_ref, src_ref,
+                k_ref, th_ref, q_hbm, bc_hbm, x_hbm,
+                o_ref,
+                q_sc, bc_sc, x_sc, acc_sc, m_sc, d_sc, sem):
+        b, mt, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        H, BS, dk = k_ref.shape[1], k_ref.shape[2], k_ref.shape[3]
+        SC, TM = x_sc.shape[0], x_sc.shape[-1]
+        C, Co = th_ref.shape[-2], th_ref.shape[-1]
+        start = start_ref[j]
+        count = count_ref[j]
+        inv_sqrt_dk = 1.0 / (dk ** 0.5)
+
+        def chunk(c):
+            base = c * SC
+            window = pl.ds(start + base, SC)
+            qdma = pltpu.make_async_copy(
+                q_hbm.at[b, window], q_sc, sem.at[0, 0])
+            bcdma = pltpu.make_async_copy(
+                bc_hbm.at[window], bc_sc, sem.at[0, 1])
+
+            def xdma(u):
+                src = src_ref[start + base + u]
+                return pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(src * BS, BS), pl.ds(mt * TM, TM)],
+                    x_sc.at[u], sem.at[u, 2])
+
+            qdma.start()
+            bcdma.start()
+            for u in range(SC):
+                xdma(u).start()
+            qdma.wait()
+            bcdma.wait()
+            for u in range(SC):
+                xdma(u).wait()
+
+            x_all = x_sc[:].reshape(SC * BS, TM)   # slots stacked on K dim
+            for h in range(H):
+                k = k_ref[0, h]                    # (BS_tgt, dk) target rows
+                scores = []
+                for u in range(SC):
+                    q = q_sc[u, h * dk:(h + 1) * dk]       # (dk, BS_src)
+                    s = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * inv_sqrt_dk + bc_sc[u, 0, h]   # -1e30 off-pattern
+                    # whole-slot validity (chunk tail past the tile count)
+                    scores.append(jnp.where(base + u < count, s, _NEG))
+                mx = scores[0].max(axis=0, keepdims=True)
+                for s in scores[1:]:
+                    mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
+                m_prev = m_sc[h]
+                m_new = jnp.maximum(m_prev, mx)
+                scale = jnp.exp(m_prev - m_new)        # (1, BS_tgt)
+                es = [jnp.exp(s - m_new) for s in scores]
+                d_sc[h] = d_sc[h] * scale + sum(
+                    e.sum(axis=0, keepdims=True) for e in es
+                )
+                w = jnp.concatenate(
+                    [bc_sc[u, 1, h] * es[u] for u in range(SC)], axis=0
+                )                                      # (SC·BS_src, BS_tgt)
+                contrib = jax.lax.dot_general(
+                    w.astype(x_all.dtype), x_all,
+                    dimension_numbers=(((0,), (0,)), ((), ())),   # wᵀ @ x
+                    preferred_element_type=jnp.float32,
+                )
+                acc_sc[h] = acc_sc[h] * scale.T + contrib
+                m_sc[h] = m_new
+
+        m_sc[:] = jnp.full_like(m_sc, _NEG)
+        d_sc[:] = jnp.zeros_like(d_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+        for c in range(n_chunks):
+            if c == 0:
+                chunk(0)                   # every tile has ≥1 slot (covered)
+            else:
+                pl.when(c * SC < count)(lambda c=c: chunk(c))
+
+        # Θ mix + ReLU epilogue (transpose trick — see the single-chunk
+        # kernel for why), one output write per grid step.
+        nt = TM // C
+        out = None
+        for h in range(H):
+            a = acc_sc[h] / jnp.maximum(d_sc[h], 1e-30).T   # (BS, TM)
+            a2 = a.T.reshape(nt, C, BS).transpose(1, 0, 2).reshape(
+                C, nt * BS
+            )
+            mix = jax.lax.dot_general(
+                th_ref[h], a2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (Co, nt·BS)
+            out = mix if out is None else out + mix
+        o_ref[0] = jnp.maximum(
+            out.reshape(Co, nt, BS).transpose(1, 0, 2).reshape(nt * Co, BS).T,
+            0.0,
+        ).astype(o_ref.dtype)
+
+    return _kernel
 
 
 def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_slots", "n_ch", "interpret"))
 def bell_fused_forward(
-    block_idx: jax.Array,  # (NJ, S) int32 — scalar-prefetched
-    q: jax.Array,          # (B, H, Np, dk) Q rows (node axis padded)
-    k: jax.Array,          # (B, H, Np, dk) K rows
-    bias_p: jax.Array,     # (H, Np, Np) dense bias planes (padded)
-    cheb_p: jax.Array,     # (H, Np, Np) dense Chebyshev planes (padded)
-    pattern: jax.Array,    # (NJ, S, BS, BS) f32 0/1 (block_mask folded in)
-    x: jax.Array,          # (B, Np, M) source features (padded; f32 or bf16)
+    tile_start: jax.Array,  # (NJ,) int32 — scalar-prefetched slot offsets
+    tile_count: jax.Array,  # (NJ,) int32 — active slots per target tile
+    a_src: jax.Array,       # (A+SC-1,) int32 — flat source ids, tail-padded
+    qg: jax.Array,          # (B, A+SC-1, H·dk, BS) pre-gathered Q slots
+    k: jax.Array,           # (B, H, Np, dk) K rows
+    bc: jax.Array,          # (A+SC-1, 2, H, BS, BS) [bias, cheb] per slot
+    x: jax.Array,           # (B, Np, T·C) t-major features (f32/bf16)
+    thetas: jax.Array,      # (H, C, Co) channel-mix weights
+    max_slots: int = 1,     # static: max active slots of any target tile
+    n_ch: int = 1,          # static: C (channels per t block)
     interpret: bool = False,
 ) -> jax.Array:
-    """out[b,h,j,t,m] = Σ_s (T_k ⊙ softmax(scores))ᵀ · x over active tiles.
+    """Fused SDDMM → neighbourhood softmax → SpMM → Θ mix → ReLU.
 
-    Returns (B, H, NJ, BS, M) f32.
+    Returns (B, Np, T·Co) in x's dtype, t-major. One grid step per
+    (batch tile, M-tile, target tile).
     """
-    B, H, Np, dk = q.shape
-    NJ, S = block_idx.shape
+    B, H, Np, dk = k.shape
+    NJ = tile_start.shape[0]
     BS = Np // NJ
     M = x.shape[-1]
-    # Tile the feature axis so the resident (H, BS, TM) output block plus the
-    # double-buffered x block stay within scoped VMEM (measured: H=3, BS=128,
-    # TM=4608 OOMs the 16 MB budget).
-    TM = M
-    while H * BS * TM * 4 * 2 + 2 * BS * TM * 4 > 10 * 2**20:
-        best = None
-        for cand in range(TM - 128, 127, -128):
-            if M % cand == 0:
-                best = cand
-                break
-        if best is None:
-            break
-        TM = best
-    NM = M // TM
+    C, Co = n_ch, thetas.shape[-1]
+    A = a_src.shape[0]
+    SC = min(max_slots, 4)                 # slots per statically-unrolled chunk
+    n_chunks = -(-max_slots // SC)
+    xb = 2 if x.dtype == jnp.bfloat16 else 4
+    step = 128 * C // _gcd(128, C)         # M-tile must align lanes AND C
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, NJ, NM, S, H),
-        in_specs=[
-            pl.BlockSpec((1, 1, BS, dk),
-                         lambda b, j, m, s, h, idx: (b, h, idx[j, s], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BS, dk),
-                         lambda b, j, m, s, h, idx: (b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, BS),
-                         lambda b, j, m, s, h, idx: (h, idx[j, s], j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, BS),
-                         lambda b, j, m, s, h, idx: (h, idx[j, s], j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BS, BS),
-                         lambda b, j, m, s, h, idx: (j, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, TM),
-                         lambda b, j, m, s, h, idx: (b, idx[j, s], m),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, BS, TM),
-                               lambda b, j, m, s, h, idx: (b, 0, j, m),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((H, 1, BS), jnp.float32),   # running max, per head
-            pltpu.VMEM((H, 1, BS), jnp.float32),   # running denom, per head
-        ],
-    )
-    nnz_tiles = int(NJ * S)
+    def pick_tm(need, budget):
+        tm = M
+        while need(tm) > budget:
+            best = None
+            for cand in range(tm - step, step - 1, -step):
+                if M % cand == 0:
+                    best = cand
+                    break
+            if best is None:
+                break
+            tm = best
+        return tm
+
+    if n_chunks == 1:
+        # single-chunk kernel: weights cached per tile (M-tile innermost),
+        # batch tile folded into each grid step
+        def need(bb):
+            def f(tm):
+                return (2 * bb * BS * (tm // C) * Co * xb   # output block
+                        + SC * bb * BS * tm * xb            # x slot buffers
+                        + SC * 2 * H * BS * BS * 4          # bias+cheb
+                        + bb * H * SC * BS * BS * xb        # cached weights
+                        + 3 * BS * tm * 4                   # epilogue temps
+                        + 2 * SC * H * BS * BS * 4          # score temps
+                        + bb * SC * H * dk * BS * 4)        # q slot buffers
+            return f
+
+        # grid steps = (B/BB)·NJ·(M/TM): minimize by maximizing BB·TM under
+        # the VMEM budget (tie → larger TM: fewer, bigger x DMAs per step)
+        BB, TM, best = 1, pick_tm(need(1), 9 * 2**20), 0
+        for cand in range(1, min(B, 8) + 1):
+            if B % cand:
+                continue
+            tm = pick_tm(need(cand), 9 * 2**20)
+            if need(cand)(tm) <= 9 * 2**20 and cand * tm > best:
+                BB, TM, best = cand, tm, cand * tm
+        NM = M // TM
+        TMo = (TM // C) * Co
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B // BB, NJ, NM),        # M-tile innermost: w reused
+            in_specs=[
+                pl.BlockSpec((BB, H, BS, dk),
+                             lambda b, j, m, start, count, src: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, C, Co),
+                             lambda b, j, m, start, count, src: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # q slots
+                pl.BlockSpec(memory_space=pltpu.HBM),   # bias+cheb tiles
+                pl.BlockSpec(memory_space=pltpu.HBM),   # x
+            ],
+            out_specs=pl.BlockSpec((BB, BS, TMo),
+                                   lambda b, j, m, start, count, src:
+                                   (b, j, m),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((BB, SC, H * dk, BS), jnp.float32),
+                pltpu.VMEM((SC, 2, H, BS, BS), jnp.float32),
+                pltpu.VMEM((SC, BB, BS, TM), x.dtype),
+                pltpu.VMEM((BB, H, SC * BS, BS), x.dtype),  # cached weights
+                pltpu.SemaphoreType.DMA((SC * BB, 3)),
+            ],
+        )
+        kernel = _make_kernel_single()
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+        def need(tm):
+            return (2 * BS * (tm // C) * Co * xb    # output block
+                    + H * BS * tm * 4               # f32 accumulator
+                    + SC * BS * tm * xb             # x slot buffers
+                    + SC * 2 * H * BS * BS * 4      # bias+cheb buffers
+                    + 2 * SC * H * BS * BS * 4      # score temps
+                    + SC * H * dk * BS * 4)         # q slot buffers
+
+        TM = pick_tm(need, 9 * 2**20)
+        NM = M // TM
+        TMo = (TM // C) * Co
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, NM, NJ),
+            in_specs=[
+                pl.BlockSpec((1, H, BS, dk),
+                             lambda b, m, j, start, count, src: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, C, Co),
+                             lambda b, m, j, start, count, src: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # q slots
+                pl.BlockSpec(memory_space=pltpu.HBM),   # bias+cheb tiles
+                pl.BlockSpec(memory_space=pltpu.HBM),   # x
+            ],
+            out_specs=pl.BlockSpec((1, BS, TMo),
+                                   lambda b, m, j, start, count, src:
+                                   (b, j, m),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SC, H * dk, BS), jnp.float32),
+                pltpu.VMEM((SC, 2, H, BS, BS), jnp.float32),
+                pltpu.VMEM((SC, BS, TM), x.dtype),
+                pltpu.VMEM((H, BS, TM), jnp.float32),
+                pltpu.VMEM((H, 1, BS), jnp.float32),
+                pltpu.VMEM((H, 1, BS), jnp.float32),
+                pltpu.SemaphoreType.DMA((SC, 3)),
+            ],
+        )
+        kernel = _make_kernel_chunked(n_chunks)
+        semantics = ("parallel", "parallel", "arbitrary")
+
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Np, (M // C) * Co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * nnz_tiles * (BS * BS * dk + BS * BS * M),
-            bytes_accessed=4 * B * H * nnz_tiles * (BS * dk + BS * BS * 2)
-            + 4 * B * nnz_tiles * BS * M + 4 * B * H * NJ * BS * M,
-            transcendentals=B * H * nnz_tiles * BS * BS,
+            flops=2 * B * H * A * (BS * BS * dk + BS * BS * M),
+            bytes_accessed=4 * B * A * H * (BS * dk + 2 * BS * BS)
+            + xb * B * A * BS * M + xb * B * Np * (M // C) * Co,
+            transcendentals=B * H * A * BS * BS,
         ),
         interpret=interpret,
-    )(block_idx, q, k, bias_p, cheb_p, pattern, x)
+    )(tile_start, tile_count, a_src, k, thetas, qg, bc, x)
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
 
 
 # ---------------------------------------------------------------------------
@@ -210,33 +493,75 @@ def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
 
 
 @jax.custom_vjp
-def bell_aggregate(block_idx, q, k, bias_p, cheb_p, pattern, x):
+def bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
+                   q, k, biasm_p, cheb_p, x, thetas):
+    """relu(Σ_h softmax-modulated aggregationₕ · Θₕ), t-major output."""
+    B, H, Np, dk = q.shape
+    NJ = tile_start.shape[0]
+    BS = Np // NJ
+    C = thetas.shape[1]
+    max_slots = pattern.shape[1]
+    SC = min(max_slots, 4)
+    # pre-gather the per-slot operands (cheap XLA gathers vs the kernel's
+    # HBM stream) and tail-pad so the kernel's fixed-size SC-slot DMA
+    # window never runs out of bounds
+    qt = q.transpose(0, 1, 3, 2).reshape(B, H * dk, NJ, BS)
+    qg = jnp.moveaxis(qt, 2, 1)[:, a_src]        # (B, A, H·dk, BS)
+
+    def tiles(plane):  # (H, Np, Np) → (A, H, BS, BS) at the active slots
+        p5 = plane.reshape(H, NJ, BS, NJ, BS).transpose(1, 3, 0, 2, 4)
+        return p5[a_src, a_tgt]
+
+    bc = jnp.stack([tiles(biasm_p), tiles(cheb_p)], axis=1)
+    pad = SC - 1
+    if pad:
+        a_src_p = jnp.pad(a_src, (0, pad))
+        qg = jnp.pad(qg, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        bc = jnp.pad(bc, ((0, pad),) + ((0, 0),) * 4)
+    else:
+        a_src_p = a_src
     return bell_fused_forward(
-        block_idx, q, k, bias_p, cheb_p, pattern, x,
-        interpret=_auto_interpret(),
+        tile_start, tile_count, a_src_p, qg, k, bc, x, thetas,
+        max_slots=max_slots, n_ch=C, interpret=_auto_interpret(),
     )
 
 
-def _fwd(block_idx, q, k, bias_p, cheb_p, pattern, x):
-    out = bell_aggregate(block_idx, q, k, bias_p, cheb_p, pattern, x)
-    return out, (block_idx, q, k, bias_p, cheb_p, pattern, x)
+def _fwd(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
+         q, k, biasm_p, cheb_p, x, thetas):
+    out = bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx,
+                         pattern, q, k, biasm_p, cheb_p, x, thetas)
+    return out, (block_idx, pattern, q, k, biasm_p, cheb_p, x, thetas, out)
 
 
 def _bwd(res, g):
-    block_idx, q, k, bias_p, cheb_p, pattern, x = res
+    block_idx, pattern, q, k, bias_p, cheb_p, x, thetas, out = res
     B, H, Np, dk = q.shape
     NJ, S = block_idx.shape
     BS = Np // NJ
     M = x.shape[-1]
+    C, Co = thetas.shape[1], thetas.shape[2]
+    nt = M // C
+    # ReLU + Θ-mix backward (t-major): g is (B, Np, nt·Co)
+    gm = (jnp.asarray(g, jnp.float32)
+          * (out > 0)).reshape(B, Np, nt, Co)
+    g_agg = jnp.einsum("bntO,hcO->bhntc", gm,
+                       thetas.astype(jnp.float32)).reshape(B, H, Np, M)
     q_blocks, att, cheb_tiles = _xla_block_pieces(
         q, k, bias_p, cheb_p, pattern, block_idx
     )
     A = cheb_tiles[None] * att                      # (B,H,NJ,S,BS_src,BS_tgt)
-    xb = x.reshape(B, NJ, BS, M)
+    xb = x.astype(jnp.float32).reshape(B, NJ, BS, M)
     x_blocks = xb[:, block_idx]                     # (B, NJ, S, BS, M)
-    gb = g.reshape(B, H, NJ, BS, M)                 # (B, H, NJ, BS_tgt, M)
+    gb = g_agg.reshape(B, H, NJ, BS, M)             # (B, H, NJ, BS_tgt, M)
     dx_blocks = jnp.einsum("bhjsat,bhjtm->bjsam", A, gb)  # sum over heads
-    dx = jnp.zeros_like(xb).at[:, block_idx].add(dx_blocks).reshape(B, Np, M)
+    dx = (jnp.zeros_like(xb).at[:, block_idx].add(dx_blocks)
+          .reshape(B, Np, M).astype(x.dtype))
+    # dΘ needs the aggregation itself — recompute from the XLA pieces
+    agg = jnp.einsum("bhjsat,bjsam->bhjtm", A, x_blocks).reshape(
+        B, H, Np, nt, C
+    )
+    dthetas = jnp.einsum("bhntc,bntO->hcO", agg,
+                         gm).astype(thetas.dtype)
     dA = jnp.einsum("bjsam,bhjtm->bhjsat", x_blocks, gb)
     datt = cheb_tiles[None] * dA
     # softmax backward per target column over the (s, a) neighbourhood
@@ -258,10 +583,11 @@ def _bwd(res, g):
         :, jnp.arange(NJ)[:, None], block_idx
     ].add(ds_sum)                                    # (H, jt, sb, a, b)
     dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np, Np)
-    return None, dq, dk_, dbias_p, None, None, dx
+    return (None, None, None, None, None, None,
+            dq, dk_, dbias_p, None, dx, dthetas)
 
 
-bell_aggregate.defvjp(_fwd, _bwd)
+bell_block_out.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -285,11 +611,24 @@ def bell_cheb_conv_with_sat_pallas(
     """Fused SDDMM → neighbourhood softmax → modulated aggregation → Θ mix.
 
     Drop-in for the XLA BELL path (block scores + conv) inside the model.
-    Returns (B, N, C_out, T), ReLU applied.
+    Returns (B, N, C_out, T), ReLU applied. Requires a ``BlockEllGraph``
+    built by ``block_ell_from_adjacency`` (for the active-tile list) on a
+    graph where every target column has an in-edge (``include_self=True``,
+    the model's configuration — see the module docstring for why).
     """
+    if bell.active_src is None or bell.tile_start is None:
+        raise ValueError(
+            "bell_cheb_conv_with_sat_pallas needs the active-tile list; "
+            "build the graph with block_ell_from_adjacency()."
+        )
+    if not bell.covered:
+        raise ValueError(
+            "the fused BELL kernel requires every target column to have at "
+            "least one in-edge (use include_self=True)."
+        )
     B, N, C, T = x.shape
-    BS, NJ, NB = bell.block_size, bell.num_tiles, bell.num_tiles
     Np = bell.padded_nodes
+    Co = thetas.shape[-1]
 
     def pad_n(a, axis):
         extra = Np - a.shape[axis]
@@ -314,15 +653,22 @@ def bell_cheb_conv_with_sat_pallas(
     k = kp.transpose(0, 2, 1, 3)
 
     bias_p = pad_n(pad_n((adj_pa[None] * masks).astype(f32), 1), 2)
+    # fold the edge-pattern mask into the bias plane: one XLA where() on the
+    # (H, Np, Np) plane instead of an extra (BS, BS) kernel operand per slot
+    biasm_p = jnp.where(bell.adj_bool[None], bias_p, _NEG)
     cheb_p = pad_n(pad_n(cheb_polys.astype(f32), 1), 2)  # (H, Np, Np)
-    pattern = (
-        bell.pattern & bell.block_mask[:, :, None, None]
-    ).astype(f32)
     # x keeps its compute dtype (bf16 halves the dominant DMA volume and
-    # doubles the SpMM MXU rate; the kernel accumulates in f32)
-    xm = pad_n(x.reshape(B, N, C * T), 1)                # (B, Np, M)
+    # doubles the SpMM MXU rate; the kernel accumulates in f32); t-major
+    # layout so the in-kernel Θ mix stays within an M-tile
+    xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
 
-    agg = bell_aggregate(bell.block_idx, q, k, bias_p, cheb_p, pattern, xm)
-    agg = agg[:, :, :N].reshape(B, n_heads, N, C, T)
-    out = jnp.einsum("bkjct,kco->bjot", agg, thetas.astype(f32))
-    return jax.nn.relu(out).astype(x.dtype)
+    out = bell_block_out(
+        bell.tile_start, bell.tile_count, bell.active_src, bell.active_tgt,
+        bell.block_idx,
+        (bell.pattern & bell.block_mask[:, :, None, None]).astype(f32),
+        q, k, biasm_p, cheb_p, xm, thetas.astype(f32),
+    )
+    # (B, Np, T·Co) t-major → (B, N, Co, T)
+    return out[:, :N].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
+        x.dtype
+    )
