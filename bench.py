@@ -90,6 +90,16 @@ def main():
     dt = (time.perf_counter() - t0) / (EPOCHS * steps_per_epoch)
 
     epochs_per_hour = 3600.0 / (dt * steps_per_epoch)
+
+    # BASELINE.json north-star counter: edges/s/chip. The dense path
+    # aggregates every (src, dst) pair per Chebyshev order, timestep, sample
+    # and block: nnz = N²·nb_block (training = fwd+bwd+Adam per edge).
+    from dstagnn_drought_tpu.training.profiling import throughput
+
+    tp = throughput(
+        step_seconds=dt, batch_size=BATCH,
+        nnz=N * N * spec.nb_block, K=spec.K, T=spec.len_input,
+    )
     print(
         json.dumps(
             {
@@ -99,6 +109,8 @@ def main():
                 "vs_baseline": round(
                     epochs_per_hour / REFERENCE_CPU_EPOCHS_PER_HOUR, 2
                 ),
+                "edges_per_s_per_chip": round(tp["edges_per_s_per_chip"]),
+                "windows_per_s": round(tp["windows_per_s"], 1),
             }
         )
     )

@@ -59,6 +59,9 @@ def main():
                     help="comma list of paths to run")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 activations (mixed-precision path)")
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (grads w.r.t. activations AND "
+                         "weights — the training cost) instead of fwd only")
     args = ap.parse_args()
 
     import jax
@@ -103,15 +106,13 @@ def main():
         masks = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
         thetas = jnp.asarray(rng.normal(size=(K, C, C)) * 0.1, jnp.float32)
 
-        @jax.jit
-        def dense_block(emb, x):
+        def dense_block(emb, x, masks, thetas, wq, wk):
             s = spatial_attention_scores(emb, wq=wq, wk=wk, n_heads=K, d_k=dk)
             return cheb_conv_with_sat(
                 x, s, adj_pa, cheb_polys=cheb, masks=masks, thetas=thetas
             )
 
-        @jax.jit
-        def ell_block(emb, x):
+        def ell_block(emb, x, masks, thetas, wq, wk):
             s = sparse_spatial_attention_scores(
                 emb, ell, wq=wq, wk=wk, n_heads=K, d_k=dk
             )
@@ -122,8 +123,7 @@ def main():
                 thetas=thetas,
             )
 
-        @jax.jit
-        def bell_block(emb, x):
+        def bell_block(emb, x, masks, thetas, wq, wk):
             s = block_sparse_spatial_attention_scores(
                 emb, bell, wq=wq, wk=wk, n_heads=K, d_k=dk
             )
@@ -138,25 +138,39 @@ def main():
             bell_cheb_conv_with_sat_pallas,
         )
 
-        @jax.jit
-        def bell_pallas_block(emb, x):
+        def bell_pallas_block(emb, x, masks, thetas, wq, wk):
             return bell_cheb_conv_with_sat_pallas(
                 x, emb, bell, wq=wq, wk=wk, adj_pa=adj_pa, masks=masks,
                 cheb_polys=cheb, thetas=thetas, n_heads=K, d_k=dk,
             )
 
         wanted = set(args.paths.split(","))
-        for path, fn in (("dense", dense_block), ("ell", ell_block),
-                         ("bell", bell_block),
-                         ("bell_pallas", bell_pallas_block)):
+        for path, base in (("dense", dense_block), ("ell", ell_block),
+                           ("bell", bell_block),
+                           ("bell_pallas", bell_pallas_block)):
             if path not in wanted:
                 continue
-            ms = timeit(fn, emb, x, iters=args.iters) * 1e3
+            if args.grad:
+                def train_like(emb, x, masks, thetas, wq, wk, _f=base):
+                    return jnp.sum(_f(emb, x, masks, thetas, wq, wk) ** 2)
+
+                fn = jax.jit(jax.grad(train_like, argnums=(0, 1, 2, 3, 4, 5)))
+            else:
+                fn = jax.jit(base)
+            ms = timeit(fn, emb, x, masks, thetas, wq, wk,
+                        iters=args.iters) * 1e3
+            # north-star counter: aggregated edge contributions per second
+            # (nnz · K · T · B per block application; ×3 for fwd+bwd ≈ 2×fwd)
+            edge_mult = 3.0 if args.grad else 1.0
+            edges_per_s = nnz * K * T * B * edge_mult / (ms * 1e-3)
             print(json.dumps({
-                "shape": name, "path": path, "ms": round(ms, 3),
+                "shape": name, "path": path,
+                "mode": "fwd+bwd" if args.grad else "fwd",
+                "ms": round(ms, 3),
                 "N": N, "B": B, "nnz": nnz,
                 "E": int(ell.max_degree),
                 "bell_active_frac": round(frac_active, 3),
+                "edges_per_s_per_chip": round(edges_per_s),
                 "dtype": str(act_dt.__name__),
                 "backend": jax.default_backend(),
             }))

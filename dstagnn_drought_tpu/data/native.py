@@ -49,6 +49,9 @@ def native_available() -> bool:
 
 def load_dense_csv(path: str) -> np.ndarray:
     """Dense CSV → (rows, cols) float64 array; native parser when built."""
+    if not os.path.exists(path):
+        # the native parser's -1 is opaque; surface the common case clearly
+        raise FileNotFoundError(path)
     lib = _get_lib()
     if lib is None:
         return np.loadtxt(path, delimiter=",", dtype=np.float64, ndmin=2)

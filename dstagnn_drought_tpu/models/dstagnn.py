@@ -277,7 +277,26 @@ def _block_apply(
         )
 
         bias = adj_pa[None] * p["cheb"]["masks"]
-        if halo is not None and not isinstance(ell, BlockEllGraph):
+        from dstagnn_drought_tpu.parallel.bell_partition import BellShardPlan
+
+        if halo is not None and isinstance(halo[1], BellShardPlan):
+            # Node-partitioned BELL: each device runs the fused tile kernel
+            # on its own target tiles with one all_gather of source rows
+            # (parallel/bell_partition.py).
+            from dstagnn_drought_tpu.parallel.bell_partition import (
+                partitioned_bell_conv,
+            )
+
+            mesh_, plan_ = halo
+            STAt = jnp.zeros((), x.dtype)
+            spatial_gcn = partitioned_bell_conv(
+                mesh_, SEmx, x, plan_,
+                adj_pa=adj_pa, masks=p["cheb"]["masks"],
+                cheb_polys=cheb_polys, thetas=p["cheb"]["thetas"],
+                wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                n_heads=spec.K, d_k=spec.d_k,
+            )
+        elif halo is not None and not isinstance(ell, BlockEllGraph):
             # Node-partitioned path: SAt SDDMM + Chebyshev aggregation run
             # per-shard under shard_map with a targeted all_to_all halo of
             # boundary rows (parallel/graph_partition.py). The global score

@@ -54,13 +54,10 @@ class BlockEllGraph:
     n_nodes: int           # true (unpadded) node count
     # Flat active-tile list (built host-side by the factory; consumed by the
     # fused Pallas kernel so its grid walks ONLY real tiles, in target-tile
-    # order). ``active_first/last[a]`` mark target-tile boundaries for the
-    # online-softmax state. ``adj_bool`` is the padded dense edge pattern,
-    # used to fold the -inf mask into the bias plane ahead of the kernel.
+    # order). ``adj_bool`` is the padded dense edge pattern, used to fold
+    # the -inf mask into the bias plane ahead of the kernel.
     active_src: jax.Array | None = None    # (A,) int32 source block ids
     active_tgt: jax.Array | None = None    # (A,) int32 target tile ids
-    active_first: jax.Array | None = None  # (A,) int32 0/1
-    active_last: jax.Array | None = None   # (A,) int32 0/1
     tile_start: jax.Array | None = None    # (NJ,) int32 offset into active_*
     tile_count: jax.Array | None = None    # (NJ,) int32 slots per target tile
     adj_bool: jax.Array | None = None      # (Np, Np) bool
@@ -89,18 +86,16 @@ class BlockEllGraph:
     def tree_flatten(self):
         return (
             self.block_idx, self.block_mask, self.pattern, self.active_src,
-            self.active_tgt, self.active_first, self.active_last,
-            self.tile_start, self.tile_count, self.adj_bool,
+            self.active_tgt, self.tile_start, self.tile_count, self.adj_bool,
         ), (self.n_nodes, self.covered)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (bi, bm, pat, a_src, a_tgt, a_first, a_last, t_start, t_count,
-         adj_bool) = children
+        (bi, bm, pat, a_src, a_tgt, t_start, t_count, adj_bool) = children
         return cls(
             block_idx=bi, block_mask=bm, pattern=pat, n_nodes=aux[0],
-            active_src=a_src, active_tgt=a_tgt, active_first=a_first,
-            active_last=a_last, tile_start=t_start, tile_count=t_count,
+            active_src=a_src, active_tgt=a_tgt,
+            tile_start=t_start, tile_count=t_count,
             adj_bool=adj_bool, covered=aux[1],
         )
 
@@ -185,18 +180,22 @@ def block_ell_from_adjacency(
             a_tgt.append(j)
     a_src_np = np.asarray(a_src, np.int32)
     a_tgt_np = np.asarray(a_tgt, np.int32)
-    first = np.r_[True, a_tgt_np[1:] != a_tgt_np[:-1]].astype(np.int32)
-    last = np.r_[a_tgt_np[1:] != a_tgt_np[:-1], True].astype(np.int32)
     t_count = np.bincount(a_tgt_np, minlength=nb).astype(np.int32)
     t_start = np.r_[0, np.cumsum(t_count)[:-1]].astype(np.int32)
+    # ``covered`` must reflect the structure the kernels actually visit: when
+    # ``max_blocks`` truncates the slot list, a target column whose only
+    # in-edges live in truncated-away source blocks is NOT covered even
+    # though the full adjacency says it is (the fused kernel's all-masked
+    # softmax would emit garbage there).
+    kept = pattern & block_mask[:, :, None, None]   # (nb, S, BS, BS)
+    col_covered = kept.any(axis=(1, 2)).reshape(n_pad)  # per target column
     return BlockEllGraph(
         jnp.asarray(block_idx), jnp.asarray(block_mask), jnp.asarray(pattern),
         n_nodes=n,
         active_src=jnp.asarray(a_src_np), active_tgt=jnp.asarray(a_tgt_np),
-        active_first=jnp.asarray(first), active_last=jnp.asarray(last),
         tile_start=jnp.asarray(t_start), tile_count=jnp.asarray(t_count),
         adj_bool=jnp.asarray(Ap),
-        covered=bool(Ap[:, :n].any(axis=0).all()),
+        covered=bool(col_covered[:n].all()),
     )
 
 

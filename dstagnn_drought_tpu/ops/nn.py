@@ -27,6 +27,18 @@ def dropout(x: jax.Array, rate: float, key: jax.Array | None, deterministic: boo
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+def per_sample_smooth_l1(
+    pred: jax.Array, target: jax.Array, beta: float = 1.0
+) -> jax.Array:
+    """Per-sample Huber (SmoothL1) loss: (B,) elementwise means over each
+    leading-axis sample. Single source of truth for the Huber kernel — the
+    mean-reduced criterion and the scan-compiled eval runner both build on
+    it, so a beta change cannot drift between them."""
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return loss.reshape(loss.shape[0], -1).mean(axis=1)
+
+
 def smooth_l1_loss(
     pred: jax.Array,
     target: jax.Array,
@@ -42,10 +54,11 @@ def smooth_l1_loss(
     With all-ones weights this is exactly the unweighted elementwise mean
     (every sample has the same element count).
     """
-    diff = jnp.abs(pred - target)
-    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
     if sample_weights is None:
-        return loss.mean()
-    per_sample = loss.reshape(loss.shape[0], -1).mean(axis=1)
+        diff = jnp.abs(pred - target)
+        return jnp.where(
+            diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta
+        ).mean()
+    per_sample = per_sample_smooth_l1(pred, target, beta)
     w = sample_weights.astype(per_sample.dtype)
     return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)

@@ -9,9 +9,9 @@ dense path sits at the f32 matmul roofline, so the only way to cash in the
 sparsity is to never materialize anything: this kernel streams one active
 128×128 tile at a time through VMEM.
 
-Design history (v2–v5 measurements in BENCH_NOTES.md). The final design is
-the product of measured eliminations, each attacking the dominant cost left
-by the previous one:
+Design history (per-version measurements in BENCH_NOTES.md, "BELL kernel
+progression"). The final design is the product of measured eliminations,
+each attacking the dominant cost left by the previous one:
 
   * grid = (B, M-tiles, NJ) — ONE step per target tile, output block index
     is a pure grid coordinate (a scalar-driven output index defeats the
@@ -54,8 +54,11 @@ then finishes the tile with out = relu(Σ_h (acc_h/d_h) Θ_h).
 
 Semantics match ``ops.block_sparse.block_sparse_cheb_conv_with_sat`` (and so
 the ELL path): softmax over each target's true in-neighbourhood. Backward is
-a custom VJP that recomputes the block softmax with the XLA block ops —
-correct everywhere, not yet kernel-fused (the forward is the serving path).
+a custom VJP that recomputes the block softmax with XLA and scans over the
+slot axis so the (B, NJ, S, BS, M) gathered source tensor (~1 GB at GAMBIA
+scale) is never materialized — per-slot transients only. Shapes may be
+rectangular (global sources × local targets) so the same code runs per-shard
+under the node-partitioned path (parallel/bell_partition.py).
 Falls back to interpret mode off-TPU (used by the CPU tests).
 """
 from __future__ import annotations
@@ -293,7 +296,17 @@ def _make_kernel_chunked(n_chunks: int):
     return _kernel
 
 
+# Placement-aware interpret override: the default backend is not always the
+# backend the computation runs on (e.g. the driver's multichip dry run builds
+# a CPU-device mesh while a TPU plugin owns the default backend). Callers
+# that know the target platform (parallel/bell_partition.py) set this around
+# tracing; None = infer from the default backend.
+_INTERPRET_OVERRIDE: bool | None = None
+
+
 def _auto_interpret() -> bool:
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
 
 
@@ -329,6 +342,10 @@ def bell_fused_forward(
     step = 128 * C // _gcd(128, C)         # M-tile must align lanes AND C
 
     def pick_tm(need, budget):
+        """Largest M-tile whose VMEM footprint fits ``budget`` (divisor of M,
+        aligned to lanes AND the channel count). None when no tile fits —
+        callers must handle it rather than ship an over-budget tile to an
+        opaque Mosaic VMEM OOM."""
         tm = M
         while need(tm) > budget:
             best = None
@@ -337,7 +354,7 @@ def bell_fused_forward(
                     best = cand
                     break
             if best is None:
-                break
+                return None
             tm = best
         return tm
 
@@ -357,13 +374,20 @@ def bell_fused_forward(
 
         # grid steps = (B/BB)·NJ·(M/TM): minimize by maximizing BB·TM under
         # the VMEM budget (tie → larger TM: fewer, bigger x DMAs per step)
-        BB, TM, best = 1, pick_tm(need(1), 9 * 2**20), 0
+        BB, TM, best = None, None, 0
         for cand in range(1, min(B, 8) + 1):
             if B % cand:
                 continue
             tm = pick_tm(need(cand), 9 * 2**20)
-            if need(cand)(tm) <= 9 * 2**20 and cand * tm > best:
+            if tm is not None and cand * tm > best:
                 BB, TM, best = cand, tm, cand * tm
+        if TM is None:
+            raise ValueError(
+                f"bell_fused_forward: no (batch-tile, M-tile) split of "
+                f"M={M} (C={C}, SC={SC}, BS={BS}, H={H}) fits the 9 MiB "
+                f"VMEM budget; reduce max_slots/block_size or use the XLA "
+                f"BELL path."
+            )
         NM = M // TM
         TMo = (TM // C) * Co
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -404,6 +428,13 @@ def bell_fused_forward(
                     + SC * H * dk * BS * 4)         # q slot buffers
 
         TM = pick_tm(need, 9 * 2**20)
+        if TM is None:
+            raise ValueError(
+                f"bell_fused_forward (chunked): no M-tile split of M={M} "
+                f"(C={C}, SC={SC}, BS={BS}, H={H}) fits the 9 MiB VMEM "
+                f"budget; reduce max_slots/block_size or use the XLA BELL "
+                f"path."
+            )
         NM = M // TM
         TMo = (TM // C) * Co
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -465,20 +496,26 @@ def _gcd(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
-    """Recompute block scores / softmax with plain XLA (backward helper)."""
-    B, H, Np, dk = q.shape
+    """Recompute block scores / softmax with plain XLA (backward helper).
+
+    Shapes may be rectangular: q covers ALL source rows (B, H, Np_src, dk)
+    while k covers only the local target rows (B, H, Np_tgt, dk) — the
+    node-partitioned path runs this per shard with global sources.
+    """
+    B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
-    BS = Np // NJ
-    qb = q.reshape(B, H, NJ, BS, dk)
+    BS = pattern.shape[-1]
+    NI = Np_src // BS
+    qb = q.reshape(B, H, NI, BS, dk)
     kb = k.reshape(B, H, NJ, BS, dk)
     q_blocks = qb[:, :, block_idx]                     # (B, H, NJ, S, BS, dk)
     scores = jnp.einsum("bhjsad,bhjcd->bhjsac", q_blocks, kb) / jnp.sqrt(
         jnp.asarray(dk, q.dtype)
     )
-    # bias/cheb tiles at (idx[j,s]·BS, j·BS); planes are dense (H, Np, Np)
+    # bias/cheb tiles at (idx[j,s]·BS, j·BS); planes are (H, Np_src, Np_tgt)
     idx5 = block_idx[None, :, :, None, None].astype(jnp.int32)
     tiles = lambda plane: jnp.take_along_axis(
-        plane.reshape(H, NJ, BS, NJ, BS).transpose(0, 3, 1, 2, 4), idx5, axis=2
+        plane.reshape(H, NI, BS, NJ, BS).transpose(0, 3, 1, 2, 4), idx5, axis=2
     )  # (H, NJ, S, BS, BS)
     bias_tiles = tiles(bias_p)
     cheb_tiles = tiles(cheb_p)
@@ -495,21 +532,28 @@ def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
 @jax.custom_vjp
 def bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
                    q, k, biasm_p, cheb_p, x, thetas):
-    """relu(Σ_h softmax-modulated aggregationₕ · Θₕ), t-major output."""
-    B, H, Np, dk = q.shape
+    """relu(Σ_h softmax-modulated aggregationₕ · Θₕ), t-major output.
+
+    Rectangular-aware: q/x/biasm_p/cheb_p cover all Np_src source rows while
+    k (and the output) cover the Np_tgt = NJ·BS target rows described by the
+    tile lists — identical when running unsharded, a strict subset per shard
+    under the node-partitioned path.
+    """
+    B, H, Np_src, dk = q.shape
     NJ = tile_start.shape[0]
-    BS = Np // NJ
+    BS = pattern.shape[-1]
+    NI = Np_src // BS
     C = thetas.shape[1]
     max_slots = pattern.shape[1]
     SC = min(max_slots, 4)
     # pre-gather the per-slot operands (cheap XLA gathers vs the kernel's
     # HBM stream) and tail-pad so the kernel's fixed-size SC-slot DMA
     # window never runs out of bounds
-    qt = q.transpose(0, 1, 3, 2).reshape(B, H * dk, NJ, BS)
+    qt = q.transpose(0, 1, 3, 2).reshape(B, H * dk, NI, BS)
     qg = jnp.moveaxis(qt, 2, 1)[:, a_src]        # (B, A, H·dk, BS)
 
-    def tiles(plane):  # (H, Np, Np) → (A, H, BS, BS) at the active slots
-        p5 = plane.reshape(H, NJ, BS, NJ, BS).transpose(1, 3, 0, 2, 4)
+    def tiles(plane):  # (H, Np_src, Np_tgt) → (A, H, BS, BS) active slots
+        p5 = plane.reshape(H, NI, BS, NJ, BS).transpose(1, 3, 0, 2, 4)
         return p5[a_src, a_tgt]
 
     bc = jnp.stack([tiles(biasm_p), tiles(cheb_p)], axis=1)
@@ -535,34 +579,57 @@ def _fwd(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
 
 def _bwd(res, g):
     block_idx, pattern, q, k, bias_p, cheb_p, x, thetas, out = res
-    B, H, Np, dk = q.shape
+    B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
-    BS = Np // NJ
+    BS = pattern.shape[-1]
+    NI = Np_src // BS
+    Np_tgt = NJ * BS
     M = x.shape[-1]
     C, Co = thetas.shape[1], thetas.shape[2]
     nt = M // C
-    # ReLU + Θ-mix backward (t-major): g is (B, Np, nt·Co)
+    # ReLU + Θ-mix backward (t-major): g is (B, Np_tgt, nt·Co)
     gm = (jnp.asarray(g, jnp.float32)
-          * (out > 0)).reshape(B, Np, nt, Co)
+          * (out > 0)).reshape(B, Np_tgt, nt, Co)
     g_agg = jnp.einsum("bntO,hcO->bhntc", gm,
-                       thetas.astype(jnp.float32)).reshape(B, H, Np, M)
+                       thetas.astype(jnp.float32)).reshape(B, H, Np_tgt, M)
     q_blocks, att, cheb_tiles = _xla_block_pieces(
         q, k, bias_p, cheb_p, pattern, block_idx
     )
     A = cheb_tiles[None] * att                      # (B,H,NJ,S,BS_src,BS_tgt)
-    xb = x.astype(jnp.float32).reshape(B, NJ, BS, M)
-    x_blocks = xb[:, block_idx]                     # (B, NJ, S, BS, M)
+    xb = x.astype(jnp.float32).reshape(B, NI, BS, M)
     gb = g_agg.reshape(B, H, NJ, BS, M)             # (B, H, NJ, BS_tgt, M)
-    dx_blocks = jnp.einsum("bhjsat,bhjtm->bjsam", A, gb)  # sum over heads
-    dx = (jnp.zeros_like(xb).at[:, block_idx].add(dx_blocks)
-          .reshape(B, Np, M).astype(x.dtype))
-    # dΘ needs the aggregation itself — recompute from the XLA pieces
-    agg = jnp.einsum("bhjsat,bjsam->bhjtm", A, x_blocks).reshape(
-        B, H, Np, nt, C
+
+    # x / Θ / attention grads via a scan over the slot axis: the gathered
+    # per-slot x tensor x[:, block_idx] is (B, NJ, S, BS, M) — ~1 GB at
+    # GAMBIA scale — so it is never materialized; each scan step touches one
+    # (B, NJ, BS, M) slot slice (the round-2 VJP gathered all S at once,
+    # paying the exact HBM cost the fused forward exists to avoid).
+    gm5 = gm.reshape(B, NJ, BS, nt, Co)
+
+    def slot_step(carry, inp):
+        dxb, dth = carry
+        idx_s, A_s = inp                    # (NJ,), (B, H, NJ, BS_src, BS_tgt)
+        x_s = xb[:, idx_s]                  # (B, NJ, BS_src, M)
+        dxb = dxb.at[:, idx_s].add(
+            jnp.einsum("bhjat,bhjtm->bjam", A_s, gb)
+        )
+        # dΘ: this slot's aggregation contribution contracted with gm
+        agg_s = jnp.einsum("bhjat,bjam->bhjtm", A_s, x_s)
+        dth = dth + jnp.einsum(
+            "bhjtnc,bjtnO->hcO",
+            agg_s.reshape(B, H, NJ, BS, nt, C), gm5,
+        )
+        dA_s = jnp.einsum("bjam,bhjtm->bhjat", x_s, gb)
+        return (dxb, dth), dA_s
+
+    (dxb, dth_acc), dA_slots = jax.lax.scan(
+        slot_step,
+        (jnp.zeros_like(xb), jnp.zeros((H, C, Co), jnp.float32)),
+        (block_idx.T, jnp.moveaxis(A, 3, 0)),
     )
-    dthetas = jnp.einsum("bhntc,bntO->hcO", agg,
-                         gm).astype(thetas.dtype)
-    dA = jnp.einsum("bjsam,bhjtm->bhjsat", x_blocks, gb)
+    dx = dxb.reshape(B, Np_src, M).astype(x.dtype)
+    dthetas = dth_acc.astype(thetas.dtype)
+    dA = jnp.moveaxis(dA_slots, 0, 3)                 # (B,H,NJ,S,BS,BS_tgt)
     datt = cheb_tiles[None] * dA
     # softmax backward per target column over the (s, a) neighbourhood
     dot = jnp.einsum("bhjsat,bhjsat->bhjt", att, datt)
@@ -571,18 +638,18 @@ def _bwd(res, g):
     kb = k.reshape(B, H, NJ, BS, dk)
     dq_blocks = jnp.einsum("bhjsat,bhjtd->bhjsad", ds, kb) * inv
     dq = (
-        jnp.zeros((B, H, NJ, BS, dk), q.dtype)
-        .at[:, :, block_idx].add(dq_blocks).reshape(B, H, Np, dk)
+        jnp.zeros((B, H, NI, BS, dk), q.dtype)
+        .at[:, :, block_idx].add(dq_blocks).reshape(B, H, Np_src, dk)
     )
     dk_ = jnp.einsum("bhjsat,bhjsad->bhjtd", ds, q_blocks).reshape(
-        B, H, Np, dk
+        B, H, Np_tgt, dk
     ) * inv
     # scatter tile grads back to the dense planes
     ds_sum = ds.sum(axis=0)                          # (H, NJ, S, BS_src, BS_tgt)
-    dbias_t = jnp.zeros((H, NJ, NJ, BS, BS), ds.dtype).at[
+    dbias_t = jnp.zeros((H, NJ, NI, BS, BS), ds.dtype).at[
         :, jnp.arange(NJ)[:, None], block_idx
     ].add(ds_sum)                                    # (H, jt, sb, a, b)
-    dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np, Np)
+    dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np_src, Np_tgt)
     return (None, None, None, None, None, None,
             dq, dk_, dbias_p, None, dx, dthetas)
 

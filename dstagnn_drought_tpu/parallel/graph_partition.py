@@ -313,15 +313,38 @@ def halo_partitioned_sparse_conv(
     n_heads: int,
     d_k: int,
 ) -> jax.Array:
-    """Convenience wrapper: places operands, runs the halo-exchange conv."""
+    """Convenience wrapper: places operands, runs the halo-exchange conv.
+
+    Accepts node counts that do NOT divide the 'graph' axis: when the plan
+    was built from a :func:`shard_ell`-padded graph (Np = nloc·P > N), the
+    node axes of emb/x and the target axes of the edge planes are zero-padded
+    up to Np here and the output is sliced back to N. The padding rows are
+    isolated (all-False mask in the padded ELL) so they aggregate nothing —
+    GAMBIA's N=2139 = 3·23·31 runs on any even-sized mesh this way.
+    """
+    n = x.shape[1]
+    n_pad = plan.nloc * plan.num_shards
+
+    def pad_nodes(a, axis):
+        if a.shape[axis] == n_pad:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, n_pad - a.shape[axis])
+        return jnp.pad(a, pad)
+
+    emb = pad_nodes(emb, 1)
+    x = pad_nodes(x, 1)
+    cheb_edges = pad_nodes(cheb_edges, 1)
+    bias_edges = pad_nodes(bias_edges, 1)
     f = make_halo_partitioned_sparse_conv(mesh, plan, n_heads, d_k)
-    return f(
+    out = f(
         emb, x,
         jnp.asarray(plan.local_indices),
         jnp.asarray(plan.mask),
         jnp.asarray(plan.send_idx),
         cheb_edges, bias_edges, thetas, wq, wk,
     )
+    return out[:, :n] if n_pad != n else out
 
 
 def partitioned_sparse_conv(

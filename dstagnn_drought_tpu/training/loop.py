@@ -134,21 +134,33 @@ class Trainer:
         if t.fuse_spatial:
             apply_extra["fuse_spatial"] = True
         if (
+            t.sparse and mesh is not None and t.graph_axis > 1
+            and t.sparse_format == "bell"
+        ):
+            # BELL × mesh: target tiles partitioned over 'graph', each device
+            # runs the fused tile kernel with one all_gather of source rows
+            from dstagnn_drought_tpu.parallel.bell_partition import (
+                build_bell_shard_plan,
+            )
+
+            plan = build_bell_shard_plan(self.constants["ell"], t.graph_axis)
+            apply_extra["halo"] = (mesh, plan)
+        elif (
             t.sparse and t.halo == "targeted" and mesh is not None
             and t.graph_axis > 1 and t.sparse_format == "ell"
         ):
-            # targeted boundary-row halo exchange over the 'graph' axis
+            # targeted boundary-row halo exchange over the 'graph' axis;
+            # indivisible node counts (GAMBIA N=2139 = 3·23·31) are padded
+            # with isolated dummy nodes (shard_ell) — the halo wrapper pads
+            # the activations/edge planes to match and slices the output
             from dstagnn_drought_tpu.parallel.graph_partition import (
                 build_halo_plan,
+                shard_ell,
             )
 
-            n = cfg.data.num_of_vertices
-            if n % t.graph_axis:
-                raise ValueError(
-                    f"halo='targeted' needs num_of_vertices ({n}) divisible "
-                    f"by graph_axis ({t.graph_axis}); use halo='gather'"
-                )
-            plan = build_halo_plan(self.constants["ell"], t.graph_axis)
+            ell_for_plan = shard_ell(self.constants["ell"], t.graph_axis)
+            self.constants["ell"] = ell_for_plan
+            plan = build_halo_plan(ell_for_plan, t.graph_axis)
             apply_extra["halo"] = (mesh, plan)
         if apply_extra:
             import functools
@@ -190,7 +202,13 @@ class Trainer:
         # batches are assembled by arbitrary shuffled gathers, which a
         # sample-sharded layout would turn into all-to-all traffic.
         split_sharding = None
-        if mesh is not None and t.graph_axis > 1:
+        if (
+            mesh is not None and t.graph_axis > 1
+            and cfg.data.num_of_vertices % t.graph_axis == 0
+        ):
+            # (device_put needs exact divisibility; with an auto-padded node
+            # axis — N % graph_axis != 0 — the splits stay replicated and the
+            # in-step sharding constraint lays out the activations instead)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             split_sharding = NamedSharding(mesh, P(None, "graph"))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from dstagnn_drought_tpu.models.dstagnn import ModelSpec, apply
-from dstagnn_drought_tpu.ops.nn import smooth_l1_loss
+from dstagnn_drought_tpu.ops.nn import per_sample_smooth_l1, smooth_l1_loss
 from dstagnn_drought_tpu.parallel.sharding import constrain_batch
 
 
@@ -194,9 +194,7 @@ def make_eval_runner(
                 use_pallas=use_pallas,
                 ell=constants.get("ell"),
             )
-            diff = jnp.abs(pred.astype(jnp.float32) - y)
-            huber = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
-            per_sample = huber.reshape(huber.shape[0], -1).mean(axis=1)
+            per_sample = per_sample_smooth_l1(pred.astype(jnp.float32), y)
             return None, (pred, per_sample)
 
         _, (preds, losses) = jax.lax.scan(body, None, idx_plan)

@@ -53,6 +53,54 @@ def test_block_ell_construction():
     assert not covered[N:].any() and not covered[:, N:].any()
 
 
+def test_covered_reflects_max_blocks_truncation():
+    """``covered`` must be computed from the truncated slot structure the
+    kernels actually visit, not the full adjacency: a target column whose
+    only in-edges live in truncated-away source blocks is uncovered."""
+    N, BS = 16, 8
+    A = np.zeros((N, N), np.float32)
+    # every target column has an in-edge in the full graph: targets 0..7
+    # from block 0, targets 8..15 ONLY from block 0 (source rows 0..7)
+    A[0, :] = 1.0
+    # give target tile 1 a second active source block whose edges hit only
+    # SOME of its columns, so slot truncation to S=1 keeps the wrong block
+    A[8, 8] = 1.0
+    bell_full = block_ell_from_adjacency(A, block_size=BS,
+                                         include_self=False)
+    assert bell_full.covered
+    # truncate to one slot per tile: tile 1 keeps source block 0 only if it
+    # sorts first — either way some real column loses all its in-edges when
+    # only one of its two source blocks survives... construct explicitly:
+    bell_trunc = block_ell_from_adjacency(A, block_size=BS,
+                                          include_self=False, max_blocks=1)
+    # tile 1 keeps source block 0 (lowest id); its columns 8..15 are covered
+    # by row 0 — but check the invariant programmatically instead
+    kept = np.asarray(bell_trunc.pattern & np.asarray(
+        bell_trunc.block_mask)[:, :, None, None])
+    col_cov = kept.any(axis=(1, 2)).reshape(-1)[:N]
+    assert bell_trunc.covered == bool(col_cov.all())
+
+
+def test_covered_false_when_truncation_drops_only_edges():
+    """Explicit case: truncation drops the only in-edges of a real column →
+    covered must flip to False (it used to stay True, computed from the
+    full adjacency)."""
+    N, BS = 16, 8
+    A = np.zeros((N, N), np.float32)
+    A[0, :8] = 1.0    # tile-0 targets from block 0
+    A[0, 8] = 1.0     # tile-1 target 8 from block 0 (many edges)
+    A[1, 8] = 1.0
+    A[9, 9:16] = 1.0  # tile-1 targets 9..15 ONLY from block 1 (fewer tiles'
+    #                   worth of edges, but block id sorts AFTER block 0)
+    bell = block_ell_from_adjacency(A, block_size=BS, include_self=False,
+                                    max_blocks=1)
+    # slot list for tile 1 truncated to [block 0] → columns 9..15 lost all
+    # in-edges in the visited structure
+    assert not bell.covered
+    full = block_ell_from_adjacency(A, block_size=BS, include_self=False)
+    assert full.covered
+
+
 def test_rcm_reduces_active_blocks():
     # two interleaved communities: awful banding as given, good after RCM
     rng = np.random.default_rng(1)

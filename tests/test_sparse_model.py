@@ -1,5 +1,7 @@
 """Sparse mode wired through the model / trainer, incl. a GAMBIA-shaped run
 (multichannel F=4 — the configuration the reference crashes on)."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,30 +141,52 @@ def test_trainer_targeted_halo_config(tmp_path, rng):
     assert np.isfinite(result["test_loss"])
 
 
-def test_trainer_halo_requires_divisible_nodes(tmp_path, rng):
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_halo_autopads_indivisible_nodes(tmp_path, rng):
+    """N=14 does not divide graph_axis=4: the targeted-halo path pads the
+    node axis with isolated dummy nodes (shard_ell) and trains end to end —
+    GAMBIA's N=2139 = 3·23·31 needs this on every even-sized mesh."""
     N, F = 14, 1  # 14 % 4 != 0
     A, pa = graphs(rng, N)
     cfg = Config(
         data=DataConfig(num_of_vertices=N, len_input=12, num_for_predict=6,
-                        dataset_name="HALO_BAD"),
+                        dataset_name="HALO_PAD"),
         training=TrainingConfig(
             in_channels=F, nb_block=2, n_heads=2, K=2, d_k=8, d_model=16,
             nb_chev_filter=8, nb_time_filter=8, batch_size=8,
-            epochs=1, learning_rate=3e-3, sparse=True,
+            epochs=2, learning_rate=3e-3, sparse=True,
             data_axis=2, graph_axis=4, halo="targeted",
         ),
     ).validate()
-    n = 16
+    n = 32
     x = rng.normal(size=(n, N, F, 12)).astype(np.float32)
-    y = x[:, :, 0, :6]
+    y = np.repeat(
+        x[:, :, -1, :].mean(axis=2, keepdims=True), 6, axis=2
+    ).astype(np.float32)
     sp = lambda s: Split(x[s], y[s])
     ds = ArrayDataset(
-        train=sp(slice(0, 8)), val=sp(slice(8, 12)), test=sp(slice(12, 16)),
+        train=sp(slice(0, 24)), val=sp(slice(24, 28)), test=sp(slice(28, 32)),
         mean=np.zeros((1, 1, F, 1)), std=np.ones((1, 1, F, 1)),
     )
-    with pytest.raises(ValueError, match="divisible"):
-        Trainer(cfg, dataset=ds, adj_merge=A, adj_pa=pa,
-                experiments_root=str(tmp_path))
+    trainer = Trainer(cfg, dataset=ds, adj_merge=A, adj_pa=pa,
+                      experiments_root=str(tmp_path))
+    assert trainer.mesh is not None
+    result = trainer.run()
+    assert np.isfinite(result["test_loss"])
+
+    # parity: the padded-halo loss trajectory equals single-device sparse
+    cfg1 = Config(
+        data=cfg.data,
+        training=dataclasses.replace(
+            cfg.training, data_axis=1, graph_axis=1, halo="gather",
+        ),
+    ).validate()
+    trainer1 = Trainer(cfg1, dataset=ds, adj_merge=A, adj_pa=pa,
+                       experiments_root=str(tmp_path / "single"))
+    result1 = trainer1.run()
+    np.testing.assert_allclose(
+        result["test_loss"], result1["test_loss"], rtol=2e-3
+    )
 
 
 def test_trainer_gambia_shaped_sparse(tmp_path, rng):
