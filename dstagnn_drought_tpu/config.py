@@ -87,6 +87,22 @@ class TrainingConfig:
                                     # checkpoint, halve LR, retry; abort after
                                     # max_rollbacks)
     max_rollbacks: int = 2
+    tp: bool = False                # tensor-parallel temporal attention:
+                                    # shard the TAt Linear(N→H·d_k)/
+                                    # Linear(H·d_v→N) weight pairs (the
+                                    # largest params at large N, since
+                                    # d_model = num_of_vertices) over the
+                                    # 'graph' axis — folded TP, no extra
+                                    # mesh axis (parallel/sharding.py
+                                    # tat_tp_shardings). Needs graph_axis>1.
+    debug: bool = False             # checkify sanitizer mode: every train
+                                    # batch runs under jax.experimental.
+                                    # checkify (NaN/inf + out-of-bounds
+                                    # checks) and raises a LOCALIZED error —
+                                    # which op, which source line — instead
+                                    # of a NaN surfacing epochs later. Slow
+                                    # (per-batch dispatch, checks inserted
+                                    # everywhere); debugging only.
     prng_impl: str = "rbg"          # training-rng (dropout) bit generator:
                                     # "rbg" = TPU hardware RNG (~17% faster
                                     # train step than threefry at PEMS08

@@ -122,6 +122,18 @@ class Trainer:
             mesh = make_mesh(t.data_axis, t.graph_axis)
         self.mesh = mesh
 
+        if t.tp and mesh is not None and t.graph_axis > 1:
+            # tensor-parallel temporal attention: place the TAt projection
+            # weights sharded over 'graph'; GSPMD derives the sharded
+            # matmuls + AllReduce from the placement. The Adam state is
+            # re-initialized from the placed params so the moments inherit
+            # the same shardings (init is cheap: zeros_like).
+            from dstagnn_drought_tpu.parallel.sharding import tat_tp_shardings
+
+            tp_sh = tat_tp_shardings(self.params, mesh)
+            self.params = jax.device_put(self.params, tp_sh)
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+
         apply_fn = self.family.apply
         apply_extra = {}
         if (t.fuse_tat or t.fuse_spatial) and t.model_name != "dstagnn":
@@ -178,6 +190,15 @@ class Trainer:
         self._step_kw = step_kw
         self.train_step = make_train_step(self.spec, self.optimizer, **step_kw)
         self.epoch_runner = make_epoch_runner(self.spec, self.optimizer, **step_kw)
+        self.checked_step = None
+        if t.debug:
+            from dstagnn_drought_tpu.training.step import (
+                make_checked_train_step,
+            )
+
+            self.checked_step = make_checked_train_step(
+                self.spec, self.optimizer, **step_kw
+            )
         self.eval_step = make_eval_step(self.spec, **step_kw)
         self.eval_runner = make_eval_runner(self.spec, **step_kw)
         self._lr_scale = 1.0
@@ -254,6 +275,22 @@ class Trainer:
         # over-weighted every epoch)
         weights = (np.arange(idx.size) < n_valid).astype(np.float32)
         weights = weights.reshape(idx.shape)
+        if self.checked_step is not None:
+            # sanitizer mode: per-batch checkify dispatch; a NaN/inf/OOB
+            # raises HERE with the failing op + source line
+            losses = []
+            for b in range(idx.shape[0]):
+                err, (self.params, self.opt_state, self.rng, loss) = (
+                    self.checked_step(
+                        self.params, self.opt_state, self.rng,
+                        x_full, y_full, jnp.asarray(idx[b]), self.constants,
+                        jnp.asarray(weights[b]),
+                    )
+                )
+                err.throw()
+                losses.append(loss)
+            losses = jnp.stack(losses)
+            return float(jnp.mean(losses))
         self.params, self.opt_state, self.rng, losses = self.epoch_runner(
             self.params, self.opt_state, self.rng,
             x_full, y_full, jnp.asarray(idx), self.constants,

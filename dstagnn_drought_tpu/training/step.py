@@ -71,6 +71,61 @@ def make_train_step(
     return step
 
 
+def make_checked_train_step(
+    spec: ModelSpec,
+    optimizer: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    mesh=None,
+    shard_nodes: bool = True,
+    apply_fn=apply,
+):
+    """Sanitizer variant of :func:`make_train_step` (SURVEY.md §5 "race
+    detection / sanitizers" row): the whole batch step — forward, loss,
+    backward, Adam — runs under ``jax.experimental.checkify`` with float
+    (NaN/inf) and index (out-of-bounds) checks inserted at every op, so a
+    numerical fault raises a LOCALIZED error naming the failing primitive
+    and source line instead of a NaN surfacing epochs later.
+
+    Returns step(...) → (err, (params, opt_state, rng, loss)); call
+    ``err.throw()`` on the host. Orders of magnitude slower than the scan
+    epoch runner — a debugging mode, enabled with ``TrainingConfig.debug``.
+    """
+    from jax.experimental import checkify
+
+    def loss_fn(params, x, y, rng, constants, weights=None):
+        pred = apply_fn(
+            params, x,
+            spec=spec,
+            adj_pa=constants["adj_pa"],
+            cheb_polys=constants["cheb_polys"],
+            deterministic=False,
+            rng=rng,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+            ell=constants.get("ell"),
+        )
+        return smooth_l1_loss(pred, y, sample_weights=weights)
+
+    def raw_step(params, opt_state, rng, x_full, y_full, idx, constants,
+                 weights=None):
+        x = constrain_batch(x_full[idx], mesh, shard_nodes)
+        y = constrain_batch(y_full[idx], mesh, shard_nodes)
+        rng, sub = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, sub, constants, weights
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    checked = checkify.checkify(
+        raw_step, errors=checkify.float_checks | checkify.index_checks
+    )
+    return jax.jit(checked)
+
+
 def make_epoch_runner(
     spec: ModelSpec,
     optimizer: optax.GradientTransformation,
