@@ -61,7 +61,18 @@ class BlockEllGraph:
     tile_start: jax.Array | None = None    # (NJ,) int32 offset into active_*
     tile_count: jax.Array | None = None    # (NJ,) int32 slots per target tile
     adj_bool: jax.Array | None = None      # (Np, Np) bool
+    # Source-sorted view of the active list (for the fused BACKWARD's dx
+    # pass, which walks tiles in source order so each grid step owns one
+    # dx output block): ``src_order`` permutes active indices into source-
+    # major order; ``src_start/count`` index it per source tile; ``
+    # ``active_slot[a]`` is a's slot position u within its target tile.
+    active_slot: jax.Array | None = None   # (A,) int32
+    src_order: jax.Array | None = None     # (A,) int32 into active_*
+    src_start: jax.Array | None = None     # (NJ,) int32
+    src_count: jax.Array | None = None     # (NJ,) int32
     covered: bool = True   # every real target column has ≥1 in-edge
+    max_src_blocks: int = 0  # max outgoing active tiles of any source
+    #                          tile (static; sizes the dx kernel's loop)
 
     @property
     def block_size(self) -> int:
@@ -87,16 +98,20 @@ class BlockEllGraph:
         return (
             self.block_idx, self.block_mask, self.pattern, self.active_src,
             self.active_tgt, self.tile_start, self.tile_count, self.adj_bool,
-        ), (self.n_nodes, self.covered)
+            self.active_slot, self.src_order, self.src_start, self.src_count,
+        ), (self.n_nodes, self.covered, self.max_src_blocks)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (bi, bm, pat, a_src, a_tgt, t_start, t_count, adj_bool) = children
+        (bi, bm, pat, a_src, a_tgt, t_start, t_count, adj_bool,
+         a_slot, s_order, s_start, s_count) = children
         return cls(
             block_idx=bi, block_mask=bm, pattern=pat, n_nodes=aux[0],
             active_src=a_src, active_tgt=a_tgt,
             tile_start=t_start, tile_count=t_count,
-            adj_bool=adj_bool, covered=aux[1],
+            adj_bool=adj_bool, active_slot=a_slot, src_order=s_order,
+            src_start=s_start, src_count=s_count, covered=aux[1],
+            max_src_blocks=aux[2] if len(aux) > 2 else 0,
         )
 
 
@@ -182,6 +197,13 @@ def block_ell_from_adjacency(
     a_tgt_np = np.asarray(a_tgt, np.int32)
     t_count = np.bincount(a_tgt_np, minlength=nb).astype(np.int32)
     t_start = np.r_[0, np.cumsum(t_count)[:-1]].astype(np.int32)
+    # slot position of each active entry within its target tile
+    a_slot = (np.arange(len(a_tgt_np), dtype=np.int32)
+              - t_start[a_tgt_np]).astype(np.int32)
+    # source-sorted view (stable: within a source, target order preserved)
+    s_order = np.argsort(a_src_np, kind="stable").astype(np.int32)
+    s_count = np.bincount(a_src_np, minlength=nb).astype(np.int32)
+    s_start = np.r_[0, np.cumsum(s_count)[:-1]].astype(np.int32)
     # ``covered`` must reflect the structure the kernels actually visit: when
     # ``max_blocks`` truncates the slot list, a target column whose only
     # in-edges live in truncated-away source blocks is NOT covered even
@@ -195,7 +217,10 @@ def block_ell_from_adjacency(
         active_src=jnp.asarray(a_src_np), active_tgt=jnp.asarray(a_tgt_np),
         tile_start=jnp.asarray(t_start), tile_count=jnp.asarray(t_count),
         adj_bool=jnp.asarray(Ap),
+        active_slot=jnp.asarray(a_slot), src_order=jnp.asarray(s_order),
+        src_start=jnp.asarray(s_start), src_count=jnp.asarray(s_count),
         covered=bool(col_covered[:n].all()),
+        max_src_blocks=int(s_count.max()) if len(s_count) else 0,
     )
 
 

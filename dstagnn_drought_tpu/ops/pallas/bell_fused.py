@@ -529,9 +529,11 @@ def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
     return q_blocks, att, cheb_tiles
 
 
-@jax.custom_vjp
-def bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
-                   q, k, biasm_p, cheb_p, x, thetas):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bell_block_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
+                   pattern, q, k, biasm_p, cheb_p, x, thetas,
+                   active_slot=None, src_order=None, src_start=None,
+                   src_count=None):
     """relu(Σ_h softmax-modulated aggregationₕ · Θₕ), t-major output.
 
     Rectangular-aware: q/x/biasm_p/cheb_p cover all Np_src source rows while
@@ -570,15 +572,22 @@ def bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
     )
 
 
-def _fwd(tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
-         q, k, biasm_p, cheb_p, x, thetas):
-    out = bell_block_out(tile_start, tile_count, a_src, a_tgt, block_idx,
-                         pattern, q, k, biasm_p, cheb_p, x, thetas)
-    return out, (block_idx, pattern, q, k, biasm_p, cheb_p, x, thetas, out)
+def _fwd(meta, tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
+         q, k, biasm_p, cheb_p, x, thetas,
+         active_slot=None, src_order=None, src_start=None, src_count=None):
+    out = bell_block_out(meta, tile_start, tile_count, a_src, a_tgt,
+                         block_idx, pattern, q, k, biasm_p, cheb_p, x,
+                         thetas, active_slot, src_order, src_start,
+                         src_count)
+    return out, (tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
+                 q, k, biasm_p, cheb_p, x, thetas, out,
+                 active_slot, src_order, src_start, src_count)
 
 
-def _bwd(res, g):
-    block_idx, pattern, q, k, bias_p, cheb_p, x, thetas, out = res
+def _bwd(meta, res, g):
+    (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
+     bias_p, cheb_p, x, thetas, out,
+     active_slot, src_order, src_start, src_count) = res
     B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
     BS = pattern.shape[-1]
@@ -587,49 +596,87 @@ def _bwd(res, g):
     M = x.shape[-1]
     C, Co = thetas.shape[1], thetas.shape[2]
     nt = M // C
+    f32 = jnp.float32
     # ReLU + Θ-mix backward (t-major): g is (B, Np_tgt, nt·Co)
-    gm = (jnp.asarray(g, jnp.float32)
-          * (out > 0)).reshape(B, Np_tgt, nt, Co)
-    g_agg = jnp.einsum("bntO,hcO->bhntc", gm,
-                       thetas.astype(jnp.float32)).reshape(B, H, Np_tgt, M)
+    gm = (jnp.asarray(g, f32) * (out > 0)).reshape(B, Np_tgt, nt, Co)
     q_blocks, att, cheb_tiles = _xla_block_pieces(
         q, k, bias_p, cheb_p, pattern, block_idx
     )
-    A = cheb_tiles[None] * att                      # (B,H,NJ,S,BS_src,BS_tgt)
-    xb = x.astype(jnp.float32).reshape(B, NI, BS, M)
-    gb = g_agg.reshape(B, H, NJ, BS, M)             # (B, H, NJ, BS_tgt, M)
 
-    # x / Θ / attention grads via a scan over the slot axis: the gathered
-    # per-slot x tensor x[:, block_idx] is (B, NJ, S, BS, M) — ~1 GB at
-    # GAMBIA scale — so it is never materialized; each scan step touches one
-    # (B, NJ, BS, M) slot slice (the round-2 VJP gathered all S at once,
-    # paying the exact HBM cost the fused forward exists to avoid).
-    gm5 = gm.reshape(B, NJ, BS, nt, Co)
-
-    def slot_step(carry, inp):
-        dxb, dth = carry
-        idx_s, A_s = inp                    # (NJ,), (B, H, NJ, BS_src, BS_tgt)
-        x_s = xb[:, idx_s]                  # (B, NJ, BS_src, M)
-        dxb = dxb.at[:, idx_s].add(
-            jnp.einsum("bhjat,bhjtm->bjam", A_s, gb)
+    if src_order is not None:
+        # Fused backward (ops/pallas/bell_bwd.py): dA + dΘ stream per
+        # active tile (K1); dx streams in SOURCE order so each grid step
+        # owns its output block (K2) — no big gathers/scatters, and g_agg
+        # is recomputed in-kernel so (B, H, Np, M) never materializes.
+        from dstagnn_drought_tpu.ops.pallas.bell_bwd import (
+            bell_bwd_dA_dtheta,
+            bell_bwd_dx,
         )
-        # dΘ: this slot's aggregation contribution contracted with gm
-        agg_s = jnp.einsum("bhjat,bjam->bhjtm", A_s, x_s)
-        dth = dth + jnp.einsum(
-            "bhjtnc,bjtnO->hcO",
-            agg_s.reshape(B, H, NJ, BS, nt, C), gm5,
-        )
-        dA_s = jnp.einsum("bjam,bhjtm->bhjat", x_s, gb)
-        return (dxb, dth), dA_s
 
-    (dxb, dth_acc), dA_slots = jax.lax.scan(
-        slot_step,
-        (jnp.zeros_like(xb), jnp.zeros((H, C, Co), jnp.float32)),
-        (block_idx.T, jnp.moveaxis(A, 3, 0)),
-    )
-    dx = dxb.reshape(B, Np_src, M).astype(x.dtype)
-    dthetas = dth_acc.astype(thetas.dtype)
-    dA = jnp.moveaxis(dA_slots, 0, 3)                 # (B,H,NJ,S,BS,BS_tgt)
+        A_n = a_src.shape[0]
+        interp = _auto_interpret()
+        w6 = cheb_tiles[None] * att            # (B,H,NJ,S,BS,BS)
+        w_act = w6[:, :, a_tgt, active_slot].transpose(0, 2, 1, 3, 4)
+        w_act = jnp.pad(
+            w_act.astype(x.dtype),
+            ((0, 0), (0, S), (0, 0), (0, 0), (0, 0)),
+        )
+        a_src_p = jnp.pad(a_src, (0, S))
+        gm_k = gm.reshape(B, Np_tgt, nt * Co).astype(x.dtype)
+        dA_act, dth = bell_bwd_dA_dtheta(
+            tile_start, tile_count, a_src_p,
+            thetas.astype(f32), gm_k, x, w_act,
+            S_max=S, n_ch=C, interpret=interp,
+        )
+        dA = (
+            jnp.zeros((B, H, NJ, S, BS, BS), f32)
+            .at[:, :, a_tgt, active_slot]
+            .set(dA_act[:, :A_n].transpose(0, 2, 1, 3, 4))
+        )
+        order_tgt = jnp.pad(a_tgt[src_order], (0, S))
+        order_idx = jnp.pad(src_order, (0, S))
+        dx = bell_bwd_dx(
+            src_start, src_count, order_tgt, order_idx,
+            thetas.astype(f32), gm_k, w_act,
+            max_out=meta, n_ch=C, np_src=Np_src,
+            interpret=interp,
+        ).astype(x.dtype)
+        dthetas = dth.astype(thetas.dtype)
+    else:
+        # XLA fallback (node-partitioned path): scan over the slot axis so
+        # the gathered per-slot x tensor x[:, block_idx] — (B, NJ, S, BS, M),
+        # ~1 GB at GAMBIA — is never materialized.
+        g_agg = jnp.einsum("bntO,hcO->bhntc", gm,
+                           thetas.astype(f32)).reshape(B, H, Np_tgt, M)
+        A6 = cheb_tiles[None] * att            # (B,H,NJ,S,BS_src,BS_tgt)
+        xb = x.astype(f32).reshape(B, NI, BS, M)
+        gb = g_agg.reshape(B, H, NJ, BS, M)    # (B, H, NJ, BS_tgt, M)
+        gm5 = gm.reshape(B, NJ, BS, nt, Co)
+
+        def slot_step(carry, inp):
+            dxb, dth = carry
+            idx_s, A_s = inp                # (NJ,), (B, H, NJ, BS, BS_tgt)
+            x_s = xb[:, idx_s]              # (B, NJ, BS_src, M)
+            dxb = dxb.at[:, idx_s].add(
+                jnp.einsum("bhjat,bhjtm->bjam", A_s, gb)
+            )
+            agg_s = jnp.einsum("bhjat,bjam->bhjtm", A_s, x_s)
+            dth = dth + jnp.einsum(
+                "bhjtnc,bjtnO->hcO",
+                agg_s.reshape(B, H, NJ, BS, nt, C), gm5,
+            )
+            dA_s = jnp.einsum("bjam,bhjtm->bhjat", x_s, gb)
+            return (dxb, dth), dA_s
+
+        (dxb, dth_acc), dA_slots = jax.lax.scan(
+            slot_step,
+            (jnp.zeros_like(xb), jnp.zeros((H, C, Co), f32)),
+            (block_idx.T, jnp.moveaxis(A6, 3, 0)),
+        )
+        dx = dxb.reshape(B, Np_src, M).astype(x.dtype)
+        dthetas = dth_acc.astype(thetas.dtype)
+        dA = jnp.moveaxis(dA_slots, 0, 3)     # (B,H,NJ,S,BS,BS_tgt)
+
     datt = cheb_tiles[None] * dA
     # softmax backward per target column over the (s, a) neighbourhood
     dot = jnp.einsum("bhjsat,bhjsat->bhjt", att, datt)
@@ -645,13 +692,13 @@ def _bwd(res, g):
         B, H, Np_tgt, dk
     ) * inv
     # scatter tile grads back to the dense planes
-    ds_sum = ds.sum(axis=0)                          # (H, NJ, S, BS_src, BS_tgt)
+    ds_sum = ds.sum(axis=0)                  # (H, NJ, S, BS_src, BS_tgt)
     dbias_t = jnp.zeros((H, NJ, NI, BS, BS), ds.dtype).at[
         :, jnp.arange(NJ)[:, None], block_idx
-    ].add(ds_sum)                                    # (H, jt, sb, a, b)
+    ].add(ds_sum)                            # (H, jt, sb, a, b)
     dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np_src, Np_tgt)
     return (None, None, None, None, None, None,
-            dq, dk_, dbias_p, None, dx, dthetas)
+            dq, dk_, dbias_p, None, dx, dthetas, None, None, None, None)
 
 
 bell_block_out.defvjp(_fwd, _bwd)
@@ -729,11 +776,26 @@ def bell_cheb_conv_with_sat_pallas(
     # layout so the in-kernel Θ mix stays within an M-tile
     xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
 
+    # meta (static) = max outgoing tiles per source — sizes the fused
+    # backward's dx loop; None (no sorted lists) falls back to the XLA VJP.
+    # The fused backward wins when the feature width M = T·C is large
+    # (GAMBIA M=4608: 1.50× dense fwd+bwd; PEMS07 M=384: the per-tile fixed
+    # costs lose to the XLA slot-scan — measured, BENCH_NOTES round 3), so
+    # gate on M. Off-TPU (interpret) keep it ON so tests cover the kernels.
+    fused_bwd = (
+        bell.src_order is not None and bell.max_src_blocks > 0
+        and (T * C >= 1024 or _auto_interpret())
+    )
     out = bell_block_out(
+        bell.max_src_blocks if fused_bwd else None,
         bell.tile_start, bell.tile_count, bell.active_src, bell.active_tgt,
         bell.block_idx,
         (bell.pattern & bell.block_mask[:, :, None, None]).astype(f32),
         q, k, biasm_p, cheb_p, xm, thetas.astype(f32),
+        bell.active_slot if fused_bwd else None,
+        bell.src_order if fused_bwd else None,
+        bell.src_start if fused_bwd else None,
+        bell.src_count if fused_bwd else None,
     )
     # (B, Np, T·Co) t-major → (B, N, Co, T)
     return out[:, :N].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(

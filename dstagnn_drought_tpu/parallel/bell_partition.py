@@ -169,9 +169,12 @@ def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
         x_all = jax.lax.all_gather(x_tm, "graph", axis=1, tiled=True)
         q = q_all.reshape(B, -1, n_heads, d_k).transpose(0, 2, 1, 3)
         k = k_loc.reshape(B, -1, n_heads, d_k).transpose(0, 2, 1, 3)
+        # meta=None → the XLA slot-scan backward (the fused backward's
+        # source-sorted dx pass is single-device for now)
         return bell_block_out(
-            tstart, tcount, asrc, atgt, bi, pat,
+            None, tstart, tcount, asrc, atgt, bi, pat,
             q, k, biasm_p, cheb_p, x_all, thetas,
+            None, None, None, None,
         )
 
     return shard_map(
