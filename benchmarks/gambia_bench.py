@@ -108,13 +108,13 @@ def main():
     A = grid_adjacency(coords)
 
     if args.stag:
-        from dstagnn_drought_tpu.data.stag import sta_matrix, sta_to_stag
+        from dstagnn_drought_tpu.data.stag import sparsify, sta_matrix
 
         t0 = time.perf_counter()
         sta = sta_matrix(sig, eps=0.01, num_iters=args.stag_iters,
                          block_size=4096)
         dt = time.perf_counter() - t0
-        stag, _ = sta_to_stag(sta, sparsity=0.01)
+        stag, _ = sparsify(np.asarray(sta), 0.01, "reference")
         pairs = N * (N - 1) // 2
         print(json.dumps({
             "stage": "stag", "seconds": round(dt, 2), "pairs": pairs,

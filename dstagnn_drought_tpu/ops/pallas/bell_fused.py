@@ -775,6 +775,14 @@ def bell_cheb_conv_with_sat_pallas(
     # doubles the SpMM MXU rate; the kernel accumulates in f32); t-major
     # layout so the in-kernel Θ mix stays within an M-tile
     xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+    # Mosaic requires HBM slices along the lane dim to be 128-aligned: pad
+    # M = T·C up to a multiple of lcm(128, C) with zero t-blocks (e.g. the
+    # GAMBIA first block: C=4, M=576 → 640). The fake t-blocks produce fake
+    # output columns, sliced off below; their cotangent is zero.
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, M_pad - T * C)))
 
     # meta (static) = max outgoing tiles per source — sizes the fused
     # backward's dx loop; None (no sorted lists) falls back to the XLA VJP.
@@ -797,7 +805,7 @@ def bell_cheb_conv_with_sat_pallas(
         bell.src_start if fused_bwd else None,
         bell.src_count if fused_bwd else None,
     )
-    # (B, Np, T·Co) t-major → (B, N, Co, T)
-    return out[:, :N].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
-        x.dtype
-    )
+    # (B, Np, nt_pad·Co) t-major → drop fake t-blocks → (B, N, Co, T)
+    return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
+        0, 1, 3, 2
+    ).astype(x.dtype)

@@ -240,6 +240,17 @@ def partitioned_bell_conv(
                         jnp.asarray(-1e30, f32))
     cheb_p = pad_n(pad_n(cheb_polys.astype(f32), 1), 2)
     x_tm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+    # Mosaic HBM slices along the lane dim must be 128-aligned: pad M = T·C
+    # to a multiple of lcm(128, C) with zero t-blocks (sliced off below)
+    def _gcd(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
 
     f = make_partitioned_bell_conv(mesh, plan, n_heads, d_k)
     # pin the kernel's interpret decision to the MESH's platform — the
@@ -260,6 +271,6 @@ def partitioned_bell_conv(
         )
     finally:
         _bf._INTERPRET_OVERRIDE = prev
-    return out[:, :N].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
+    return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
         x.dtype
     )
