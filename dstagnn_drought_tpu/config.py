@@ -87,6 +87,13 @@ class TrainingConfig:
                                     # checkpoint, halve LR, retry; abort after
                                     # max_rollbacks)
     max_rollbacks: int = 2
+    rcm: bool = False               # BELL: reorder nodes with reverse
+                                    # Cuthill–McKee before tiling, so a
+                                    # spatially-local graph in arbitrary node
+                                    # order becomes banded and few 128×128
+                                    # tiles activate. Internal only: reports,
+                                    # prediction dumps and returned arrays
+                                    # stay in the original node order.
     tp: bool = False                # tensor-parallel temporal attention:
                                     # shard the TAt Linear(N→H·d_k)/
                                     # Linear(H·d_v→N) weight pairs (the

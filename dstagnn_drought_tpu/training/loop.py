@@ -78,6 +78,25 @@ class Trainer:
         if adj_merge is None or adj_pa is None:
             adj_merge, adj_pa = load_graphs(cfg)
 
+        # RCM node reordering for the block-sparse path: bandwidth-reduce the
+        # merged graph so BELL tiling activates few off-diagonal tiles (the
+        # win is active_blocks/total_blocks of the dense cost). Everything
+        # node-indexed — graphs, data splits, model params — lives in the
+        # permuted order internally; ``evaluate`` maps predictions back, so
+        # reports/dumps are in the ORIGINAL node order.
+        self._perm = None
+        self._inv_perm = None
+        if t.rcm and t.sparse and t.sparse_format == "bell":
+            from dstagnn_drought_tpu.ops.block_sparse import rcm_permutation
+
+            perm = rcm_permutation(
+                np.maximum(np.asarray(adj_merge), np.asarray(adj_merge).T)
+            )
+            self._perm = perm
+            self._inv_perm = np.argsort(perm)
+            adj_merge = np.asarray(adj_merge)[np.ix_(perm, perm)]
+            adj_pa = np.asarray(adj_pa)[np.ix_(perm, perm)]
+
         from dstagnn_drought_tpu.models import get_family
 
         self.family = get_family(t.model_name or "dstagnn")
@@ -236,9 +255,13 @@ class Trainer:
         self._device_splits = {}
         for name in ("train", "val", "test"):
             split = getattr(dataset, name)
+            x_arr, y_arr = split.x, split.target
+            if self._perm is not None:
+                x_arr = np.asarray(x_arr)[:, self._perm]
+                y_arr = np.asarray(y_arr)[:, self._perm]
             self._device_splits[name] = (
-                jax.device_put(split.x, split_sharding),
-                jax.device_put(split.target, split_sharding),
+                jax.device_put(x_arr, split_sharding),
+                jax.device_put(y_arr, split_sharding),
             )
 
     # ------------------------------------------------------------------
@@ -322,13 +345,18 @@ class Trainer:
         preds = np.asarray(preds, np.float32)
         pred = preds.reshape(-1, *preds.shape[2:])[:n_valid]
         per_sample = np.asarray(losses, np.float32).reshape(-1)[:n_valid]
+        if self._inv_perm is not None:
+            # back to the ORIGINAL node order (targets/dumps live there)
+            pred = pred[:, self._inv_perm]
         return pred, float(per_sample.mean())
 
     def attention_maps(self, split: str = "test", sample: int = 24) -> list:
         """Per-block raw spatial attention for one sample (the reference's
         legacy export grabs batch 24 — lib/utils.py:552-568; stale against its
         own model, working here). Returns a list of (K, N, N) arrays (dense
-        mode) or (K, N, E) edge maps (sparse mode)."""
+        mode) or (K, N, E) edge maps (sparse mode). With ``rcm=True`` the
+        maps are in the INTERNAL (RCM) node order — ``self._perm`` maps
+        internal index → original node id."""
         x_full, _ = self._device_splits[split]
         n = len(getattr(self.dataset, split))
         idx = jnp.asarray([min(sample, n - 1)], jnp.int32)

@@ -280,3 +280,58 @@ def test_trainer_bell_mode(tmp_path):
     res = tr.run()
     assert np.isfinite(res["test_loss"])
     assert res["best_epoch"] >= 0
+
+
+def test_trainer_rcm_reorders_and_reports_original_order(tmp_path):
+    """rcm=True: a shuffled banded graph is re-banded internally (fewer
+    active BELL tiles), training runs, and predictions/metrics come back in
+    the ORIGINAL node order."""
+    from dstagnn_drought_tpu.config import Config, DataConfig, TrainingConfig
+    from dstagnn_drought_tpu.data.dataset import ArrayDataset, Split
+    from dstagnn_drought_tpu.training.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    N, F, BS = 32, 1, 8
+    banded = local_graph(N, radius=2, seed=3)
+    banded = np.maximum(banded, banded.T)
+    shuffle = rng.permutation(N)
+    A = banded[np.ix_(shuffle, shuffle)]     # same graph, scrambled ids
+    pa = (rng.random((N, N)) < 0.2).astype(np.float32)
+
+    n = 32
+    x = rng.normal(size=(n, N, F, 12)).astype(np.float32)
+    y = np.repeat(
+        x[:, :, -1, :].mean(axis=2, keepdims=True), 6, axis=2
+    ).astype(np.float32)
+    sp = lambda s: Split(x[s], y[s])
+    ds = ArrayDataset(
+        train=sp(slice(0, 24)), val=sp(slice(24, 28)), test=sp(slice(28, 32)),
+        mean=np.zeros((1, 1, F, 1)), std=np.ones((1, 1, F, 1)),
+    )
+
+    def cfg(rcm):
+        return Config(
+            data=DataConfig(num_of_vertices=N, len_input=12,
+                            num_for_predict=6, dataset_name=f"RCM_{rcm}"),
+            training=TrainingConfig(
+                in_channels=F, nb_block=2, n_heads=2, K=2, d_k=8, d_model=16,
+                nb_chev_filter=8, nb_time_filter=8, batch_size=8,
+                epochs=2, learning_rate=3e-3, sparse=True,
+                sparse_format="bell", block_size=BS, rcm=rcm,
+            ),
+        ).validate()
+
+    tr_plain = Trainer(cfg(False), dataset=ds, adj_merge=A, adj_pa=pa,
+                       experiments_root=str(tmp_path / "plain"))
+    tr_rcm = Trainer(cfg(True), dataset=ds, adj_merge=A, adj_pa=pa,
+                     experiments_root=str(tmp_path / "rcm"))
+    # banded structure recovered: strictly fewer active tiles
+    assert tr_rcm.constants["ell"].num_active < \
+        tr_plain.constants["ell"].num_active
+    res = tr_rcm.run()
+    assert np.isfinite(res["test_loss"])
+    pred, _ = tr_rcm.evaluate("test")
+    assert pred.shape == (4, N, 6) and np.isfinite(pred).all()
+    # internal graph really is the RCM-permuted one
+    p = tr_rcm._perm
+    assert p is not None and not np.array_equal(p, np.arange(N))
