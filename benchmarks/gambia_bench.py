@@ -37,6 +37,14 @@ T_IN, T_PRED = 144, 12
 BATCH = 4
 
 
+def set_scale(k: int):
+    """--scale k: k× longer raster strip (N = k·2139) — the node-axis
+    scaling sweep. Dense cost grows O(N²), BELL O(N·band)."""
+    global N_X, N
+    N_X = 93 * k
+    N = N_X * N_Y
+
+
 def synth_drought(seed=0):
     """(T, N, F) smooth seasonal field + spatially-correlated anomalies."""
     rng = np.random.default_rng(seed)
@@ -97,7 +105,11 @@ def main():
     ap.add_argument("--stag", action="store_true",
                     help="also time on-device STAG generation (2.29M pairs)")
     ap.add_argument("--stag-iters", type=int, default=100)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="k× longer raster strip (N = k·2139)")
     args = ap.parse_args()
+    if args.scale != 1:
+        set_scale(args.scale)
 
     import jax
 
@@ -184,7 +196,7 @@ def main():
             "setup_seconds": round(setup_s, 1),
             "first_epoch_loss": round(float(loss0), 4),
             "edges_per_s_per_chip": round(tp["edges_per_s_per_chip"]),
-            "n_train": len(x_tr), "batches_per_epoch": n_batches,
+            "n_train": len(x_tr), "batches_per_epoch": n_batches, "N": N,
             "backend": jax.default_backend(),
         }))
 

@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (grads w.r.t. activations AND "
                          "weights — the training cost) instead of fwd only")
+    ap.add_argument("--check", action="store_true",
+                    help="numerical parity on the CURRENT backend: compare "
+                         "bell_pallas against the XLA BELL path (fwd + "
+                         "grads) instead of timing — validates the Mosaic-"
+                         "compiled kernels, incl. chunked slots, on real "
+                         "hardware at real shapes")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +149,41 @@ def main():
                 x, emb, bell, wq=wq, wk=wk, adj_pa=adj_pa, masks=masks,
                 cheb_polys=cheb, thetas=thetas, n_heads=K, d_k=dk,
             )
+
+        if args.check:
+            S = int(bell.max_blocks)
+            ref_fn = jax.jit(bell_block)
+            pal_fn = jax.jit(bell_pallas_block)
+            argsv = (emb, x, masks, thetas, wq, wk)
+            ref_o = np.asarray(ref_fn(*argsv), np.float32)
+            pal_o = np.asarray(pal_fn(*argsv), np.float32)
+            scale = max(np.abs(ref_o).max(), 1e-6)
+            fwd_rel = float(np.abs(pal_o - ref_o).max() / scale)
+
+            def loss(f):
+                return lambda *a: jnp.sum(f(*a) ** 2)
+
+            g_ref = jax.jit(jax.grad(loss(bell_block),
+                                     argnums=tuple(range(6))))(*argsv)
+            g_pal = jax.jit(jax.grad(loss(bell_pallas_block),
+                                     argnums=tuple(range(6))))(*argsv)
+            rels = {}
+            for gr, gp, nm in zip(g_ref, g_pal,
+                                  ("emb", "x", "masks", "thetas",
+                                   "wq", "wk")):
+                gr = np.asarray(gr, np.float32)
+                gp = np.asarray(gp, np.float32)
+                rels[nm] = float(
+                    np.abs(gp - gr).max() / max(np.abs(gr).max(), 1e-6)
+                )
+            print(json.dumps({
+                "shape": name, "mode": "check", "max_slots": S,
+                "chunked": S > 4, "fwd_max_rel": round(fwd_rel, 6),
+                "grad_max_rel": {k: round(v, 6) for k, v in rels.items()},
+                "dtype": str(act_dt.__name__),
+                "backend": jax.default_backend(),
+            }))
+            continue
 
         wanted = set(args.paths.split(","))
         for path, base in (("dense", dense_block), ("ell", ell_block),
