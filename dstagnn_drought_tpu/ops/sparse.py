@@ -123,6 +123,11 @@ def sparse_spatial_attention_scores(
     return scores
 
 
+# One-shot edge gathers above this size switch to a scan over edge slots
+# (multi-GB gathers waste HBM and trip a TPU runtime fault at GAMBIA scale)
+_GATHER_BYTES_LIMIT = 256 * 2**20
+
+
 def sparse_cheb_conv_with_sat(
     x: jax.Array,
     edge_scores: jax.Array,
@@ -149,10 +154,30 @@ def sparse_cheb_conv_with_sat(
     s = jnp.where(ell.mask[None, None], s, jnp.asarray(-1e30, s.dtype))
     att = jax.nn.softmax(s, axis=-1)  # over source edges e
     A = cheb_edges[None] * att * ell.mask[None, None]
-    x_src = x.reshape(B, N, C * T)[:, ell.indices]  # (B, N, E, C·T)
-    agg = jnp.einsum("bkje,bjem->bkjm", A, x_src).reshape(
-        B, A.shape[1], N, C, T
-    )
+    xm = x.reshape(B, N, C * T)
+    E = ell.max_degree
+    if B * N * E * C * T * x.dtype.itemsize > _GATHER_BYTES_LIMIT:
+        # Large graphs: the one-shot (B, N, E, C·T) gather is multi-GB at
+        # GAMBIA scale (3.6 GB at N=2139, E=23, M=4608) and trips a TPU
+        # runtime fault in this build besides wasting HBM. Scan over edge
+        # slots instead — E transient (B, N, C·T) gathers.
+        def edge_step(acc, inp):
+            idx_e, A_e = inp          # (N,), (B, K, N)
+            acc = acc + jnp.einsum("bkj,bjm->bkjm", A_e, xm[:, idx_e])
+            return acc, None
+
+        K = A.shape[1]
+        agg, _ = jax.lax.scan(
+            edge_step,
+            jnp.zeros((B, K, N, C * T), x.dtype),
+            (ell.indices.T, jnp.moveaxis(A, 3, 0)),
+        )
+        agg = agg.reshape(B, K, N, C, T)
+    else:
+        x_src = xm[:, ell.indices]    # (B, N, E, C·T)
+        agg = jnp.einsum("bkje,bjem->bkjm", A, x_src).reshape(
+            B, A.shape[1], N, C, T
+        )
     out = jnp.einsum("bkjct,kco->bjot", agg, thetas)
     return jax.nn.relu(out)
 

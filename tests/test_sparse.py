@@ -132,3 +132,29 @@ def test_sparse_conv_grads_finite(rng):
     g = jax.grad(loss)(wq)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_ell_conv_scan_path_matches_gather(rng, monkeypatch):
+    """Above the gather-size limit the aggregation scans over edge slots —
+    numerically identical to the one-shot gather path."""
+    import dstagnn_drought_tpu.ops.sparse as sp
+
+    N, K, C, T, dm, dk = 18, 2, 3, 5, 8, 4
+    A = (rng.random((N, N)) < 0.3).astype(np.float32)
+    ell = sp.ell_from_adjacency(A)
+    x = jnp.asarray(rng.normal(size=(2, N, C, T)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(2, N, dm)), jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(dm, K * dk)), jnp.float32)
+    cheb = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(K, N, N)), jnp.float32)
+    thetas = jnp.asarray(rng.normal(size=(K, C, 4)) * 0.1, jnp.float32)
+    s = sp.sparse_spatial_attention_scores(emb, ell, wq=wq, wk=wk,
+                                           n_heads=K, d_k=dk)
+    kw = dict(cheb_edges=sp.gather_edge_values(cheb, ell),
+              bias_edges=sp.gather_edge_values(bias, ell), thetas=thetas)
+    ref = sp.sparse_cheb_conv_with_sat(x, s, ell, **kw)
+    monkeypatch.setattr(sp, "_GATHER_BYTES_LIMIT", 0)
+    got = sp.sparse_cheb_conv_with_sat(x, s, ell, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
