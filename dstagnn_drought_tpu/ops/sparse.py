@@ -92,10 +92,29 @@ def ell_from_adjacency(
 
 
 def gather_edge_values(dense: jax.Array, ell: EllGraph) -> jax.Array:
-    """(..., N, N) dense matrix → (..., N, E) values at (indices[j,e], j)."""
-    # dense[..., i, j] with i = indices[j, e]
-    j_ids = jnp.arange(ell.num_nodes)[:, None]
-    return dense[..., ell.indices, j_ids]
+    """(..., N, N) dense matrix → (..., N, E) values at (indices[j,e], j).
+
+    Formulated as a per-row ``take_along_axis`` on the transposed plane
+    rather than a two-index-array fancy gather: the latter's XLA lowering
+    aborts the TPU runtime at N≳2000 when the plane is a traced operand
+    (reproduced in this jax build; BENCH_NOTES round 3).
+    """
+    # A shard_ell-padded graph may be gathered over a true-size plane (the
+    # targeted-halo path): zero-pad the plane to the padded node count — the
+    # padding rows are masked downstream either way.
+    n = ell.num_nodes
+    if dense.shape[-1] != n or dense.shape[-2] != n:
+        pad = [(0, 0)] * (dense.ndim - 2) + [
+            (0, n - dense.shape[-2]), (0, n - dense.shape[-1])
+        ]
+        dense = jnp.pad(dense, pad)
+    # dense[..., i, j] with i = indices[j, e]  ≡  denseᵀ[..., j, i]
+    d_t = jnp.swapaxes(dense, -1, -2)                     # (..., j, i)
+    idx = jnp.broadcast_to(
+        ell.indices.astype(jnp.int32),
+        d_t.shape[:-1] + (ell.max_degree,),
+    )
+    return jnp.take_along_axis(d_t, idx, axis=-1)
 
 
 def sparse_spatial_attention_scores(
