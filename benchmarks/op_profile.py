@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny shapes (CPU smoke test of the tooling)")
+    ap.add_argument("--gambia", action="store_true",
+                    help="GAMBIA config (N=2139, T=144, sparse BELL path)")
+    ap.add_argument("--dense", action="store_true",
+                    help="with --gambia: profile the dense spatial path")
     args = ap.parse_args()
 
     import jax
@@ -52,22 +56,43 @@ def main():
             nb_block=4, in_channels=1, K=3, nb_chev_filter=32, nb_time_filter=32,
             d_model=512, d_k=32, n_heads=3,
         )
+    if args.gambia:
+        spec = ModelSpec(
+            num_of_vertices=2139, len_input=144, num_for_predict=12,
+            num_of_d=4, nb_block=2, in_channels=4, K=2, nb_chev_filter=32,
+            nb_time_filter=32, d_model=64, d_k=32, n_heads=2,
+        )
     rng = np.random.default_rng(0)
     N = spec.num_of_vertices
-    A = (rng.random((N, N)) < 0.05).astype(np.float32)
-    A = np.maximum(A, A.T); np.fill_diagonal(A, 0); A[0, 1] = A[1, 0] = 1
+    if args.gambia:
+        # banded raster-like adjacency (the GAMBIA grid structure)
+        A = np.zeros((N, N), np.float32)
+        for j in range(N):
+            lo, hi = max(0, j - 23), min(N, j + 24)
+            A[lo:hi, j] = 1.0
+    else:
+        A = (rng.random((N, N)) < 0.05).astype(np.float32)
+        A = np.maximum(A, A.T); np.fill_diagonal(A, 0); A[0, 1] = A[1, 0] = 1
     pa = (rng.random((N, N)) < 0.01).astype(np.float32); np.fill_diagonal(pa, 1)
 
     params, consts = make_model(jax.random.PRNGKey(0), spec, A, pa)
+    if args.gambia and not args.dense:
+        from dstagnn_drought_tpu.ops.block_sparse import (
+            block_ell_from_adjacency,
+        )
+
+        consts = dict(consts, ell=block_ell_from_adjacency(A, block_size=128))
     opt = make_optimizer(1e-4)
     opt_state = opt.init(params)
     step = make_train_step(
         spec, opt,
         compute_dtype=jnp.bfloat16 if args.bfloat16 else jnp.float32,
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas or (args.gambia and not args.dense),
     )
-    B = 8 if args.tiny else 64
-    x_full = jnp.asarray(rng.normal(size=(4 * B, N, 1, 12)), jnp.float32)
+    B = 8 if args.tiny else (4 if args.gambia else 64)
+    F_in = spec.in_channels
+    T_in = spec.len_input
+    x_full = jnp.asarray(rng.normal(size=(4 * B, N, F_in, T_in)), jnp.float32)
     y_full = jnp.asarray(
         rng.normal(size=(4 * B, N, spec.num_for_predict)), jnp.float32
     )

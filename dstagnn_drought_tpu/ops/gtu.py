@@ -30,6 +30,16 @@ def conv2d_nchw(
     return out
 
 
+# T at or above this switches the GTU to the im2col matmul formulation.
+# Measured on v5e (fwd+bwd, bf16, 3 GTUs): at GAMBIA shapes (T=144,
+# N=2139) im2col runs 15.7 ms vs 26.1 ms for conv_general (NCHW and NHWC
+# identical) — XLA's TPU conv is ~1.7× off the matmul for (1,k) kernels at
+# long T. At PEMS shapes (T=12) im2col measured ~2% SLOWER (the window
+# concatenate outweighs the friendlier dW matmul), so short T keeps the
+# conv. BENCH_NOTES.md round 3.
+_IM2COL_MIN_T = 48
+
+
 def gtu(
     x: jax.Array,
     w: jax.Array,
@@ -41,12 +51,32 @@ def gtu(
     """Gated temporal conv. x: (B, C, N, T); w: (2C, C, 1, k); b: (2C,).
 
     Returns (B, C, N, (T-k)//time_strides + 1).
-
-    Note: an im2col + single-matmul variant was measured ~2% SLOWER end to
-    end than conv_general on v5e at these shapes (the window stack's
-    concatenate outweighs the friendlier dW matmul) — keep the conv.
     """
-    y = conv2d_nchw(x, w, b, stride=(1, time_strides))
+    if x.shape[-1] >= _IM2COL_MIN_T:
+        y = _conv_im2col(x, w, b, time_strides)
+    else:
+        y = conv2d_nchw(x, w, b, stride=(1, time_strides))
     p = y[:, :in_channels]
     q = y[:, in_channels:]
     return jnp.tanh(p) * jax.nn.sigmoid(q)
+
+
+def _conv_im2col(x, w, b, time_strides):
+    """(1, k) valid conv as ONE matmul over stacked time windows.
+
+    x (B, C, N, T) NCHW, w (2C, C, 1, k) OIHW → (B, 2C, N, T_out). The
+    stacked window axis gives a k·C contraction dim (vs C alone), which the
+    MXU tiles far better than XLA's conv lowering at long T.
+    """
+    B, C, N, T = x.shape
+    k = w.shape[-1]
+    s = time_strides
+    T_out = (T - k) // s + 1
+    xt = x.transpose(0, 2, 3, 1)                       # (B, N, T, C)
+    cols = jnp.concatenate(
+        [xt[:, :, kk: kk + (T_out - 1) * s + 1: s] for kk in range(k)],
+        axis=-1,
+    )                                                  # (B, N, T_out, k·C)
+    w2 = w[:, :, 0, :].transpose(2, 1, 0).reshape(k * C, -1).astype(x.dtype)
+    y = cols @ w2 + b.astype(x.dtype)                  # (B, N, T_out, 2C)
+    return y.transpose(0, 3, 1, 2)

@@ -132,3 +132,27 @@ def test_grad_flows(rng):
             assert gsum == 0, f"{name} expected structurally unused"
         else:
             assert gsum > 0, f"{name} got zero gradient"
+
+
+def test_gtu_im2col_matches_conv():
+    """The long-T im2col GTU formulation is numerically identical to the
+    conv_general one (same weights, strides, gating)."""
+    import importlib
+
+    G = importlib.import_module("dstagnn_drought_tpu.ops.gtu")
+
+    rng = np.random.default_rng(0)
+    for k, s, T in ((3, 1, 60), (5, 1, 50), (7, 2, 49)):
+        B, C, N = 2, 6, 9
+        x = jnp.asarray(rng.normal(size=(B, C, N, T)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(2 * C, C, 1, k)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32)
+        ref = G.conv2d_nchw(x, w, b, stride=(1, s))
+        got = G._conv_im2col(x, w, b, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # the public gtu() picks im2col above the threshold
+        out = G.gtu(x, w, b, in_channels=C, time_strides=s)
+        refg = jnp.tanh(ref[:, :C]) * jax.nn.sigmoid(ref[:, C:])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(refg),
+                                   rtol=2e-5, atol=2e-5)
