@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SHAPES = {
     # name: (N, B, d_model, K, d_k, C, T)
     "gambia": (2139, 4, 512, 3, 32, 32, 144),
+    # the exact reference GAMBIA config (configurations/GAMBIA_dstagnn.conf:
+    # d_model=64, K=2, d_k=32) — "gambia" above is the heavier d_model-512
+    # variant kept for cross-round comparability
+    "gambia_conf": (2139, 4, 64, 2, 32, 32, 144),
     "pems07": (883, 12, 512, 3, 32, 32, 12),
     "toy": (256, 4, 64, 3, 16, 8, 12),
 }
