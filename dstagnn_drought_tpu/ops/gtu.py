@@ -66,7 +66,10 @@ def _conv_im2col(x, w, b, time_strides):
 
     x (B, C, N, T) NCHW, w (2C, C, 1, k) OIHW → (B, 2C, N, T_out). The
     stacked window axis gives a k·C contraction dim (vs C alone), which the
-    MXU tiles far better than XLA's conv lowering at long T.
+    MXU tiles far better than XLA's conv lowering at long T. (A hand-written
+    full-correlation backward was measured 9 ms/step SLOWER at GAMBIA scale
+    than autodiff of this formulation — the padded-cotangent im2col
+    materializes k× the cotangent volume; autodiff's split+add is cheaper.)
     """
     B, C, N, T = x.shape
     k = w.shape[-1]
