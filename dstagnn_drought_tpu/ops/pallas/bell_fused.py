@@ -296,17 +296,13 @@ def _make_kernel_chunked(n_chunks: int):
     return _kernel
 
 
-# Placement-aware interpret override: the default backend is not always the
-# backend the computation runs on (e.g. the driver's multichip dry run builds
-# a CPU-device mesh while a TPU plugin owns the default backend). Callers
-# that know the target platform (parallel/bell_partition.py) set this around
-# tracing; None = infer from the default backend.
-_INTERPRET_OVERRIDE: bool | None = None
-
-
-def _auto_interpret() -> bool:
-    if _INTERPRET_OVERRIDE is not None:
-        return _INTERPRET_OVERRIDE
+def _resolve_interpret(interpret: bool | None) -> bool:
+    """None = infer from the default backend. Callers that know the target
+    platform differs from the default backend (e.g. a CPU-device mesh under a
+    TPU plugin — the driver's multichip dry run) pass it explicitly through
+    ``bell_block_out``'s static meta."""
+    if interpret is not None:
+        return interpret
     return jax.default_backend() != "tpu"
 
 
@@ -536,11 +532,17 @@ def bell_block_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
                    src_count=None):
     """relu(Σ_h softmax-modulated aggregationₕ · Θₕ), t-major output.
 
+    ``meta`` is the STATIC configuration (nondiff): a ``(max_out, interpret)``
+    pair where ``max_out`` sizes the fused backward's dx loop (None → the XLA
+    slot-scan VJP) and ``interpret`` pins Pallas interpret mode (None → infer
+    from the default backend).
+
     Rectangular-aware: q/x/biasm_p/cheb_p cover all Np_src source rows while
     k (and the output) cover the Np_tgt = NJ·BS target rows described by the
     tile lists — identical when running unsharded, a strict subset per shard
     under the node-partitioned path.
     """
+    _, interp_opt = meta
     B, H, Np_src, dk = q.shape
     NJ = tile_start.shape[0]
     BS = pattern.shape[-1]
@@ -568,7 +570,7 @@ def bell_block_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
         a_src_p = a_src
     return bell_fused_forward(
         tile_start, tile_count, a_src_p, qg, k, bc, x, thetas,
-        max_slots=max_slots, n_ch=C, interpret=_auto_interpret(),
+        max_slots=max_slots, n_ch=C, interpret=_resolve_interpret(interp_opt),
     )
 
 
@@ -588,6 +590,7 @@ def _bwd(meta, res, g):
     (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
      bias_p, cheb_p, x, thetas, out,
      active_slot, src_order, src_start, src_count) = res
+    max_out, interp_opt = meta
     B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
     BS = pattern.shape[-1]
@@ -614,7 +617,7 @@ def _bwd(meta, res, g):
         )
 
         A_n = a_src.shape[0]
-        interp = _auto_interpret()
+        interp = _resolve_interpret(interp_opt)
         w6 = cheb_tiles[None] * att            # (B,H,NJ,S,BS,BS)
         w_act = w6[:, :, a_tgt, active_slot].transpose(0, 2, 1, 3, 4)
         w_act = jnp.pad(
@@ -638,7 +641,7 @@ def _bwd(meta, res, g):
         dx = bell_bwd_dx(
             src_start, src_count, order_tgt, order_idx,
             thetas.astype(f32), gm_k, w_act,
-            max_out=meta, n_ch=C, np_src=Np_src,
+            max_out=max_out, n_ch=C, np_src=Np_src,
             interpret=interp,
         ).astype(x.dtype)
         dthetas = dth.astype(thetas.dtype)
@@ -784,18 +787,20 @@ def bell_cheb_conv_with_sat_pallas(
     if M_pad != T * C:
         xm = jnp.pad(xm, ((0, 0), (0, 0), (0, M_pad - T * C)))
 
-    # meta (static) = max outgoing tiles per source — sizes the fused
-    # backward's dx loop; None (no sorted lists) falls back to the XLA VJP.
-    # The fused backward wins when the feature width M = T·C is large
-    # (GAMBIA M=4608: 1.50× dense fwd+bwd; PEMS07 M=384: the per-tile fixed
-    # costs lose to the XLA slot-scan — measured, BENCH_NOTES round 3), so
-    # gate on M. Off-TPU (interpret) keep it ON so tests cover the kernels.
+    # meta (static) = (max outgoing tiles per source, interpret). max_out
+    # sizes the fused backward's dx loop; None (no sorted lists) falls back
+    # to the XLA VJP. The fused backward wins when the feature width
+    # M = T·C is large (GAMBIA M=4608: 1.50× dense fwd+bwd; PEMS07 M=384:
+    # the per-tile fixed costs lose to the XLA slot-scan — measured,
+    # BENCH_NOTES round 3), so gate on M. Off-TPU (interpret) keep it ON so
+    # tests cover the kernels.
+    interp = _resolve_interpret(None)
     fused_bwd = (
         bell.src_order is not None and bell.max_src_blocks > 0
-        and (T * C >= 1024 or _auto_interpret())
+        and (T * C >= 1024 or interp)
     )
     out = bell_block_out(
-        bell.max_src_blocks if fused_bwd else None,
+        (bell.max_src_blocks if fused_bwd else None, None),
         bell.tile_start, bell.tile_count, bell.active_src, bell.active_tgt,
         bell.block_idx,
         (bell.pattern & bell.block_mask[:, :, None, None]).astype(f32),

@@ -142,13 +142,17 @@ def build_bell_shard_plan(
 
 
 def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
-                               n_heads: int, d_k: int):
+                               n_heads: int, d_k: int,
+                               interpret: bool | None = None):
     """Shard_map'd fused-BELL spatial conv over the 'graph' axis.
 
     f(emb, x_tm, biasm_p, cheb_p, thetas, wq, wk) → (B, Np, nt·Co) t-major,
     with emb (B, Np, d_model) / x_tm (B, Np, T·C) node-sharded, the bias and
     cheb planes (H, Np, Np) target-sharded, and weights replicated. The
-    caller slices the output back to the true N.
+    caller slices the output back to the true N. ``interpret`` pins the
+    kernel's Pallas interpret mode (None → infer from the default backend;
+    pass the mesh platform when it differs, e.g. a CPU-device mesh under a
+    TPU plugin).
     """
     from dstagnn_drought_tpu.ops.pallas.bell_fused import bell_block_out
 
@@ -161,7 +165,6 @@ def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
         asrc, atgt = asrc[0], atgt[0]
         tstart, tcount = tstart[0], tcount[0]
         B = emb.shape[0]
-        dt = x_tm.dtype
         # local projections; gather the global source rows (q + features)
         q_loc = jnp.einsum("bnd,dh->bnh", emb, wq).astype(jnp.float32)
         k_loc = jnp.einsum("bnd,dh->bnh", emb, wk).astype(jnp.float32)
@@ -169,10 +172,10 @@ def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
         x_all = jax.lax.all_gather(x_tm, "graph", axis=1, tiled=True)
         q = q_all.reshape(B, -1, n_heads, d_k).transpose(0, 2, 1, 3)
         k = k_loc.reshape(B, -1, n_heads, d_k).transpose(0, 2, 1, 3)
-        # meta=None → the XLA slot-scan backward (the fused backward's
+        # max_out=None → the XLA slot-scan backward (the fused backward's
         # source-sorted dx pass is single-device for now)
         return bell_block_out(
-            None, tstart, tcount, asrc, atgt, bi, pat,
+            (None, interpret), tstart, tcount, asrc, atgt, bi, pat,
             q, k, biasm_p, cheb_p, x_all, thetas,
             None, None, None, None,
         )
@@ -252,25 +255,18 @@ def partitioned_bell_conv(
     if M_pad != T * C:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
 
-    f = make_partitioned_bell_conv(mesh, plan, n_heads, d_k)
     # pin the kernel's interpret decision to the MESH's platform — the
     # default backend may differ (CPU-device mesh under a TPU plugin)
-    from dstagnn_drought_tpu.ops.pallas import bell_fused as _bf
-
-    prev = _bf._INTERPRET_OVERRIDE
-    _bf._INTERPRET_OVERRIDE = (
-        next(iter(mesh.devices.flat)).platform.lower() != "tpu"
+    interpret = next(iter(mesh.devices.flat)).platform.lower() != "tpu"
+    f = make_partitioned_bell_conv(mesh, plan, n_heads, d_k,
+                                   interpret=interpret)
+    out = f(
+        emb_p, x_tm,
+        jnp.asarray(plan.block_idx), jnp.asarray(plan.pattern),
+        jnp.asarray(plan.a_src), jnp.asarray(plan.a_tgt),
+        jnp.asarray(plan.tile_start), jnp.asarray(plan.tile_count),
+        biasm_p, cheb_p, thetas.astype(f32), wq, wk,
     )
-    try:
-        out = f(
-            emb_p, x_tm,
-            jnp.asarray(plan.block_idx), jnp.asarray(plan.pattern),
-            jnp.asarray(plan.a_src), jnp.asarray(plan.a_tgt),
-            jnp.asarray(plan.tile_start), jnp.asarray(plan.tile_count),
-            biasm_p, cheb_p, thetas.astype(f32), wq, wk,
-        )
-    finally:
-        _bf._INTERPRET_OVERRIDE = prev
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
         x.dtype
     )

@@ -42,6 +42,59 @@ def test_tat_tp_shardings_tree():
     assert not placed["blocks"][0]["tat"]["wq"].sharding.is_fully_replicated
 
 
+def test_tat_tp_fallback_warns(caplog):
+    """An indivisible H·d_k must fall back to replicated WITH a warning, and
+    tp_report must flag it."""
+    import logging
+
+    from dstagnn_drought_tpu.models.dstagnn import ModelSpec, make_model
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+    from dstagnn_drought_tpu.parallel.sharding import (
+        tat_tp_shardings,
+        tp_report,
+    )
+
+    mesh = make_mesh(2, 4)
+    # H·d_k = 3·7 = 21, not divisible by graph axis 4
+    spec = ModelSpec(
+        num_of_vertices=16, len_input=12, num_for_predict=4, num_of_d=1,
+        nb_block=1, in_channels=1, K=2, nb_chev_filter=8, nb_time_filter=8,
+        d_model=16, d_k=7, n_heads=3,
+    )
+    A = np.eye(16, dtype=np.float32)
+    params, _ = make_model(jax.random.PRNGKey(0), spec, A, A)
+    with caplog.at_level(logging.WARNING,
+                         logger="dstagnn_drought_tpu.parallel.sharding"):
+        sh = tat_tp_shardings(params, mesh)
+    assert any("REPLICATED" in r.message for r in caplog.records)
+    assert sh["blocks"][0]["tat"]["wq"].spec == jax.sharding.PartitionSpec()
+    rep = tp_report(params, mesh)
+    assert rep["fallback"]
+    assert rep["per_device_bytes_tp"] == rep["per_device_bytes_replicated"]
+
+
+def test_tp_report_divisible():
+    """Divisible case: per-device bytes shrink by the sharded TAt share."""
+    from dstagnn_drought_tpu.models.dstagnn import ModelSpec, make_model
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+    from dstagnn_drought_tpu.parallel.sharding import tp_report
+
+    mesh = make_mesh(2, 4)
+    spec = ModelSpec(
+        num_of_vertices=16, len_input=12, num_for_predict=4, num_of_d=1,
+        nb_block=2, in_channels=1, K=2, nb_chev_filter=8, nb_time_filter=8,
+        d_model=16, d_k=8, n_heads=2,
+    )
+    A = np.eye(16, dtype=np.float32)
+    params, _ = make_model(jax.random.PRNGKey(0), spec, A, A)
+    rep = tp_report(params, mesh)
+    assert not rep["fallback"]
+    assert rep["sharded_tat_bytes"] > 0
+    expect = rep["replicated_bytes"] + rep["sharded_tat_bytes"] // 4
+    assert rep["per_device_bytes_tp"] == expect
+    assert rep["per_device_bytes_tp"] < rep["per_device_bytes_replicated"]
+
+
 def test_tp_training_matches_replicated(tmp_path):
     rng = np.random.default_rng(2)
     N, F = 16, 1
