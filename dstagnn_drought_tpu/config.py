@@ -67,6 +67,16 @@ class TrainingConfig:
     sparse: bool = False            # sparse SAt + cheb conv path
     sparse_format: str = "ell"      # "ell" (edge list) | "bell" (block-sparse)
     block_size: int = 128           # bell: node-block tile size (MXU width)
+    mask_format: str = "dense"      # learnable graph-mask storage: "dense"
+                                    # = reference-shaped (K, N, N) per block;
+                                    # "tiles" = ONLY on the BELL active-tile
+                                    # support (exact — the reference bias is
+                                    # adj_pa ⊙ mask with adj_pa binarized, so
+                                    # off-support entries never train), which
+                                    # breaks the O(K·N²) parameter wall and
+                                    # drops every dense (N, N) plane from the
+                                    # train step. Requires sparse=true,
+                                    # sparse_format=bell.
     max_degree: int = 0             # ell: cap on in-degree (0 = graph max)
     data_axis: int = 1              # mesh axis sizes; 1 = single chip
     graph_axis: int = 1
@@ -151,6 +161,16 @@ class Config:
         if t.sparse_format not in ("ell", "bell"):
             raise ValueError(f"sparse_format must be 'ell' or 'bell', got "
                              f"{t.sparse_format!r}")
+        if t.mask_format not in ("dense", "tiles"):
+            raise ValueError(f"mask_format must be 'dense' or 'tiles', got "
+                             f"{t.mask_format!r}")
+        if t.mask_format == "tiles" and not (
+            t.sparse and t.sparse_format == "bell"
+        ):
+            raise ValueError(
+                "mask_format='tiles' stores masks on the BELL tile support; "
+                "set sparse=true and sparse_format='bell'"
+            )
         if t.nan_policy not in ("abort", "rollback"):
             raise ValueError(f"nan_policy must be 'abort' or 'rollback', got "
                              f"{t.nan_policy!r}")

@@ -165,6 +165,7 @@ def apply(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,   # dense family — no sparse/Pallas path
     ell=None,
+    bell_tiles=None,        # interface-compat; dstagnn-family only
     return_attention: bool = False,
     attention: bool = True,
 ):

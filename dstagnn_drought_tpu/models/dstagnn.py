@@ -100,7 +100,8 @@ class ModelSpec:
 # init
 # ---------------------------------------------------------------------------
 
-def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int):
+def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int,
+                bell=None):
     N, T = spec.num_of_vertices, spec.len_input
     H, d_k, d_v, K = spec.n_heads, spec.d_k, spec.d_v, spec.K
     C = spec.nb_time_filter
@@ -130,8 +131,24 @@ def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int):
         "thetas": jnp.stack(
             [L.xavier_uniform(kg(), (in_channels, spec.nb_chev_filter)) for _ in range(K)]
         ),
-        "masks": jnp.stack([L.xavier_uniform(kg(), (N, N)) for _ in range(K)]),
     }
+    if bell is None:
+        p["cheb"]["masks"] = jnp.stack(
+            [L.xavier_uniform(kg(), (N, N)) for _ in range(K)]
+        )
+    else:
+        # tile-resident masks: learnable ONLY on the BELL active-tile support
+        # (exact — off-support entries of the reference's dense mask have
+        # identically zero gradient, model/DSTAGNN_my.py:126 with binarized
+        # adj_pa). Entries are iid uniform with the DENSE xavier bound
+        # (fan_in = fan_out = N), so the distribution matches a gathered
+        # dense init.
+        A, BS = bell.num_active, bell.block_size
+        bound = (6.0 / (N + N)) ** 0.5
+        p["cheb"]["mask_tiles"] = jnp.asarray(
+            kg().uniform(-bound, bound, size=(A, K, BS, BS)),
+            dtype=jnp.float32,
+        )  # (A, K, BS, BS)
     for ksz in (3, 5, 7):
         p[f"gtu{ksz}"] = L.conv2d_params(kg, 2 * C, C, 1, ksz)
     p["fcmy"] = L.linear_params(kg, 3 * T - 12, T)
@@ -140,10 +157,10 @@ def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int):
     return p
 
 
-def init_params(key: jax.Array, spec: ModelSpec) -> Params:
+def init_params(key: jax.Array, spec: ModelSpec, bell=None) -> Params:
     kg = L.KeyGen(key)
     blocks = [
-        _init_block(kg, spec, nd, ic) for nd, ic in spec.block_specs
+        _init_block(kg, spec, nd, ic, bell=bell) for nd, ic in spec.block_specs
     ]
     T_cat = (spec.len_input // spec.time_strides) * spec.nb_block
     return {
@@ -170,6 +187,7 @@ def _block_apply(
     use_pallas: bool = False,
     ell=None,
     halo=None,
+    bell_tiles=None,
     fuse_tat: bool = False,
     fuse_spatial: bool = False,
 ):
@@ -276,7 +294,10 @@ def _block_apply(
             sparse_spatial_attention_scores,
         )
 
-        bias = adj_pa[None] * p["cheb"]["masks"]
+        bias = (
+            adj_pa[None] * p["cheb"]["masks"]
+            if "masks" in p["cheb"] else None
+        )
         from dstagnn_drought_tpu.parallel.bell_partition import BellShardPlan
 
         if halo is not None and isinstance(halo[1], BellShardPlan):
@@ -321,7 +342,31 @@ def _block_apply(
             # work scales with active blocks, not N². With use_pallas the
             # whole SDDMM → online-softmax → aggregation pipeline runs as
             # one fused streaming kernel (ops/pallas/bell_fused.py).
-            if use_pallas:
+            if "mask_tiles" in p["cheb"]:
+                # Tile-resident masks (O(active-tiles) params, no dense
+                # plane): always the fused kernel path.
+                if bell_tiles is None:
+                    raise ValueError(
+                        "params use tile-resident masks (mask_tiles) but no "
+                        "bell_tiles constants were provided — build them "
+                        "with ops.block_sparse.build_bell_tile_constants()."
+                    )
+                from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+                    bell_cheb_conv_tiles,
+                )
+
+                STAt = jnp.zeros((), x.dtype)
+                spatial_gcn = bell_cheb_conv_tiles(
+                    x, SEmx, ell,
+                    wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                    mask_tiles=p["cheb"]["mask_tiles"],
+                    pattern_tiles=bell_tiles["pattern_tiles"],
+                    pa_tiles=bell_tiles["pa_tiles"],
+                    cheb_tiles=bell_tiles["cheb_tiles"],
+                    thetas=p["cheb"]["thetas"],
+                    n_heads=spec.K, d_k=spec.d_k,
+                )
+            elif use_pallas:
                 from dstagnn_drought_tpu.ops.pallas.bell_fused import (
                     bell_cheb_conv_with_sat_pallas,
                 )
@@ -429,6 +474,7 @@ def apply(
     use_pallas: bool = False,
     ell=None,
     halo=None,
+    bell_tiles=None,
     fuse_tat: bool = False,
     fuse_spatial: bool = False,
     return_attention: bool = False,
@@ -457,7 +503,8 @@ def apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
-            ell=ell, halo=halo, fuse_tat=fuse_tat, fuse_spatial=fuse_spatial,
+            ell=ell, halo=halo, bell_tiles=bell_tiles,
+            fuse_tat=fuse_tat, fuse_spatial=fuse_spatial,
         )
         outs.append(x)
         spatial_maps.append(stat)
@@ -487,17 +534,42 @@ def make_model(
     spec: ModelSpec,
     adj_merge: np.ndarray | jax.Array,
     adj_pa: np.ndarray | jax.Array,
+    bell=None,
 ):
     """Build (params, constants) like the reference ``make_model``
     (model/DSTAGNN_my.py:282-297): scaled Laplacian of the merged graph →
-    K Chebyshev polynomials as device constants → initialized params."""
+    K Chebyshev polynomials as device constants → initialized params.
+
+    With ``bell`` (a :class:`~dstagnn_drought_tpu.ops.block_sparse.
+    BlockEllGraph`), the learnable graph masks are TILE-RESIDENT — stored
+    only on the active-tile support (O(N·band) parameters instead of
+    O(K·N²)) — and the constants carry per-tile adj_pa / Chebyshev values
+    (``bell_tiles``) instead of dense (N, N) planes, so nothing O(N²) is
+    device-resident. The dense ``cheb_polys`` / ``adj_pa`` constants become
+    minimal placeholders (the tile path never reads them)."""
     L_tilde = scaled_laplacian(jnp.asarray(adj_merge, jnp.float32))
     polys = cheb_polynomials(L_tilde, spec.K)
-    params = init_params(key, spec)
-    constants = {
-        "cheb_polys": polys,
-        "adj_pa": jnp.asarray(adj_pa, jnp.float32),
-    }
+    params = init_params(key, spec, bell=bell)
+    if bell is not None:
+        from dstagnn_drought_tpu.ops.block_sparse import (
+            build_bell_tile_constants,
+        )
+
+        constants = {
+            "bell_tiles": build_bell_tile_constants(
+                bell, np.asarray(adj_pa), np.asarray(polys)
+            ),
+            # placeholders: the tile path never builds dense planes; keeping
+            # the keys preserves the apply()/step signature
+            "cheb_polys": jnp.zeros((spec.K, 1, 1), jnp.float32),
+            "adj_pa": jnp.zeros((1, 1), jnp.float32),
+        }
+        del polys
+    else:
+        constants = {
+            "cheb_polys": polys,
+            "adj_pa": jnp.asarray(adj_pa, jnp.float32),
+        }
     return params, constants
 
 

@@ -81,6 +81,7 @@ def apply(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
     ell=None,
+    bell_tiles=None,        # interface-compat; dstagnn-family only
     return_attention: bool = False,
 ):
     """STGCN forward: x (B, N, F, T) → (B, N, num_for_predict)."""

@@ -78,6 +78,7 @@ def apply(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
     ell=None,
+    bell_tiles=None,        # interface-compat; dstagnn-family only
     return_attention: bool = False,
 ):
     """Transformer forward: x (B, N, F, T) → (B, N, num_for_predict)."""

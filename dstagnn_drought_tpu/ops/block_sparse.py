@@ -224,6 +224,59 @@ def block_ell_from_adjacency(
     )
 
 
+def active_tile_values(dense, bell: BlockEllGraph) -> np.ndarray:
+    """(..., N, N) dense matrix → (A, ..., BS, BS) values at the ACTIVE tiles,
+    in flat active-list order (host-side numpy; used at setup time so no
+    dense (N, N) plane ever needs to be device-resident).
+
+    ``dense`` is over (source, target) like the dense path's convention."""
+    if bell.active_src is None:
+        raise ValueError("active_tile_values needs the active-tile list")
+    d = np.asarray(dense)
+    BS, NJ = bell.block_size, bell.num_tiles
+    n_pad = bell.padded_nodes
+    pad = [(0, 0)] * (d.ndim - 2) + [
+        (0, n_pad - d.shape[-2]), (0, n_pad - d.shape[-1])
+    ]
+    d = np.pad(d, pad)
+    lead = d.shape[:-2]
+    d = d.reshape(*lead, NJ, BS, NJ, BS)
+    # (..., sb, a, jt, b) → (sb, jt, ..., a, b) → pick the active (sb, jt)
+    d = np.moveaxis(d, (-4, -2), (0, 1))
+    return d[np.asarray(bell.active_src), np.asarray(bell.active_tgt)]
+
+
+def build_bell_tile_constants(
+    bell: BlockEllGraph, adj_pa, cheb_polys
+) -> dict:
+    """Per-active-tile CONSTANT operands of the tile-resident BELL path.
+
+    The tile-resident path stores the learnable graph masks only on the
+    active-tile support (see ``models.dstagnn``: ``mask_tiles``) and consumes
+    adj_pa / Chebyshev values as per-tile constants, so nothing O(N²) is ever
+    device-resident. Exact by the reference's own semantics: the bias is
+    ``adj_pa ⊙ mask_k`` (model/DSTAGNN_my.py:126) with adj_pa a binarized
+    top-k graph (lib/dataloader.py:11-15), so mask entries off the support
+    have identically zero gradient and never contribute.
+
+    Returns {'pattern_tiles' (A, BS, BS) bool, 'pa_tiles' (A, BS, BS) f32,
+    'cheb_tiles' (A, K, BS, BS) f32} as device arrays.
+    """
+    valid = np.asarray(bell.pattern) & np.asarray(
+        bell.block_mask)[:, :, None, None]
+    a_tgt = np.asarray(bell.active_tgt)
+    a_slot = np.asarray(bell.active_slot)
+    return {
+        "pattern_tiles": jnp.asarray(valid[a_tgt, a_slot]),
+        "pa_tiles": jnp.asarray(
+            active_tile_values(adj_pa, bell), dtype=jnp.float32
+        ),
+        "cheb_tiles": jnp.asarray(
+            active_tile_values(cheb_polys, bell), dtype=jnp.float32
+        ),
+    }
+
+
 def gather_block_values(dense: jax.Array, bell: BlockEllGraph) -> jax.Array:
     """(..., N, N) dense matrix → (..., NJ, S, BS, BS) active-tile values.
 

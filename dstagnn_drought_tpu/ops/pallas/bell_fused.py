@@ -491,9 +491,37 @@ def _gcd(a: int, b: int) -> int:
 # differentiable wrapper (XLA recompute backward)
 # ---------------------------------------------------------------------------
 
-def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
+def _plane_tiles(plane, block_idx, BS):
+    """(H, Np_src, Np_tgt) dense plane → (H, NJ, S, BS, BS) tiles at the
+    slot structure (tile (block_idx[j,s]·BS, j·BS) per slot)."""
+    H = plane.shape[0]
+    NI = plane.shape[1] // BS
+    NJ = block_idx.shape[0]
+    idx5 = block_idx[None, :, :, None, None].astype(jnp.int32)
+    return jnp.take_along_axis(
+        plane.reshape(H, NI, BS, NJ, BS).transpose(0, 3, 1, 2, 4),
+        idx5, axis=2,
+    )  # (H, NJ, S, BS, BS)
+
+
+def _tiles_to_ns(tiles, tile_start, S):
+    """(A, H, BS, BS) active-list tiles → (H, NJ, S, BS, BS) slot-organized.
+
+    Slots past a tile's count read a NEIGHBOURING tile's values (the active
+    list is target-ordered and contiguous) — garbage there is always masked
+    downstream by ``pattern`` (padding slots are all-False)."""
+    A = tiles.shape[0]
+    idx = jnp.minimum(
+        tile_start[:, None] + jnp.arange(S, dtype=tile_start.dtype)[None],
+        A - 1,
+    )                                       # (NJ, S)
+    return jnp.moveaxis(tiles[idx], 2, 0)   # (H, NJ, S, BS, BS)
+
+
+def _xla_block_pieces(q, k, bias_ns, cheb_ns, pattern, block_idx):
     """Recompute block scores / softmax with plain XLA (backward helper).
 
+    ``bias_ns``/``cheb_ns`` are slot-organized tiles (H, NJ, S, BS, BS).
     Shapes may be rectangular: q covers ALL source rows (B, H, Np_src, dk)
     while k covers only the local target rows (B, H, Np_tgt, dk) — the
     node-partitioned path runs this per shard with global sources.
@@ -508,21 +536,14 @@ def _xla_block_pieces(q, k, bias_p, cheb_p, pattern, block_idx):
     scores = jnp.einsum("bhjsad,bhjcd->bhjsac", q_blocks, kb) / jnp.sqrt(
         jnp.asarray(dk, q.dtype)
     )
-    # bias/cheb tiles at (idx[j,s]·BS, j·BS); planes are (H, Np_src, Np_tgt)
-    idx5 = block_idx[None, :, :, None, None].astype(jnp.int32)
-    tiles = lambda plane: jnp.take_along_axis(
-        plane.reshape(H, NI, BS, NJ, BS).transpose(0, 3, 1, 2, 4), idx5, axis=2
-    )  # (H, NJ, S, BS, BS)
-    bias_tiles = tiles(bias_p)
-    cheb_tiles = tiles(cheb_p)
-    s_all = scores + bias_tiles[None]
+    s_all = scores + bias_ns[None]
     s_all = jnp.where(pattern[None, None] > 0, s_all, _NEG)
     # softmax over (s, a) per target column
     s2 = s_all.transpose(0, 1, 2, 5, 3, 4).reshape(B, H, NJ, BS, S * BS)
     att = jax.nn.softmax(s2, axis=-1).reshape(B, H, NJ, BS, S, BS)
     att = att.transpose(0, 1, 2, 4, 5, 3)  # (B, H, NJ, S, BS_src, BS_tgt)
     att = att * (pattern[None, None] > 0)
-    return q_blocks, att, cheb_tiles
+    return q_blocks, att
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -586,11 +607,16 @@ def _fwd(meta, tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
                  active_slot, src_order, src_start, src_count)
 
 
-def _bwd(meta, res, g):
-    (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
-     bias_p, cheb_p, x, thetas, out,
-     active_slot, src_order, src_start, src_count) = res
-    max_out, interp_opt = meta
+def _bwd_core(max_out, interp_opt, tile_start, tile_count, a_src, a_tgt,
+              block_idx, pattern, q, k, bias_ns, cheb_ns, x, thetas, out, g,
+              active_slot, src_order, src_start, src_count):
+    """Shared backward math for both the plane- and tile-resident wrappers.
+
+    ``bias_ns``/``cheb_ns`` are slot-organized tiles (H, NJ, S, BS, BS).
+    Returns (dq, dk_, ds_sum, dx, dthetas) with ds_sum the batch-summed
+    pre-softmax score gradient (H, NJ, S, BS_src, BS_tgt) — the caller maps
+    it to its bias representation (dense-plane scatter or active-tile
+    gather)."""
     B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
     BS = pattern.shape[-1]
@@ -602,9 +628,10 @@ def _bwd(meta, res, g):
     f32 = jnp.float32
     # ReLU + Θ-mix backward (t-major): g is (B, Np_tgt, nt·Co)
     gm = (jnp.asarray(g, f32) * (out > 0)).reshape(B, Np_tgt, nt, Co)
-    q_blocks, att, cheb_tiles = _xla_block_pieces(
-        q, k, bias_p, cheb_p, pattern, block_idx
+    q_blocks, att = _xla_block_pieces(
+        q, k, bias_ns, cheb_ns, pattern, block_idx
     )
+    cheb_tiles = cheb_ns
 
     if src_order is not None:
         # Fused backward (ops/pallas/bell_bwd.py): dA + dΘ stream per
@@ -694,9 +721,29 @@ def _bwd(meta, res, g):
     dk_ = jnp.einsum("bhjsat,bhjsad->bhjtd", ds, q_blocks).reshape(
         B, H, Np_tgt, dk
     ) * inv
-    # scatter tile grads back to the dense planes
     ds_sum = ds.sum(axis=0)                  # (H, NJ, S, BS_src, BS_tgt)
-    dbias_t = jnp.zeros((H, NJ, NI, BS, BS), ds.dtype).at[
+    return dq, dk_, ds_sum, dx, dthetas
+
+
+def _bwd(meta, res, g):
+    (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
+     bias_p, cheb_p, x, thetas, out,
+     active_slot, src_order, src_start, src_count) = res
+    max_out, interp_opt = meta
+    BS = pattern.shape[-1]
+    NJ, S = block_idx.shape
+    NI = q.shape[2] // BS
+    Np_src, Np_tgt = q.shape[2], NJ * BS
+    bias_ns = _plane_tiles(bias_p, block_idx, BS)
+    cheb_ns = _plane_tiles(cheb_p, block_idx, BS)
+    dq, dk_, ds_sum, dx, dthetas = _bwd_core(
+        max_out, interp_opt, tile_start, tile_count, a_src, a_tgt,
+        block_idx, pattern, q, k, bias_ns, cheb_ns, x, thetas, out, g,
+        active_slot, src_order, src_start, src_count,
+    )
+    # scatter tile grads back to the dense plane (dense-mask path)
+    H = ds_sum.shape[0]
+    dbias_t = jnp.zeros((H, NJ, NI, BS, BS), ds_sum.dtype).at[
         :, jnp.arange(NJ)[:, None], block_idx
     ].add(ds_sum)                            # (H, jt, sb, a, b)
     dbias_p = dbias_t.transpose(0, 2, 3, 1, 4).reshape(H, Np_src, Np_tgt)
@@ -705,6 +752,86 @@ def _bwd(meta, res, g):
 
 
 bell_block_out.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# tile-resident variant: masks live only on the active-tile support
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bell_tiles_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
+                   pattern, q, k, bias_tiles, cheb_tiles, x, thetas,
+                   active_slot=None, src_order=None, src_start=None,
+                   src_count=None):
+    """Tile-resident ``bell_block_out``: bias/cheb arrive as ACTIVE-LIST
+    tiles (A, H, BS, BS) — bias already pattern-folded to -1e30 off-pattern —
+    so no (H, Np, Np) plane is ever built, traced, transposed, or scattered
+    into. This is what lets the learnable graph masks live only on the edge
+    support (O(active tiles) parameters instead of O(K·N²)); see
+    ``bell_cheb_conv_tiles``. ``meta`` = (max_out, interpret) as in
+    ``bell_block_out``.
+    """
+    _, interp_opt = meta
+    B, H, Np_src, dk = q.shape
+    BS = pattern.shape[-1]
+    NI = Np_src // BS
+    C = thetas.shape[1]
+    max_slots = pattern.shape[1]
+    SC = min(max_slots, 4)
+    qt = q.transpose(0, 1, 3, 2).reshape(B, H * dk, NI, BS)
+    qg = jnp.moveaxis(qt, 2, 1)[:, a_src]        # (B, A, H·dk, BS)
+    bc = jnp.stack([bias_tiles, cheb_tiles], axis=1).astype(jnp.float32)
+    pad = SC - 1
+    if pad:
+        a_src_p = jnp.pad(a_src, (0, pad))
+        qg = jnp.pad(qg, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        bc = jnp.pad(bc, ((0, pad),) + ((0, 0),) * 4)
+    else:
+        a_src_p = a_src
+    return bell_fused_forward(
+        tile_start, tile_count, a_src_p, qg, k, bc, x, thetas,
+        max_slots=max_slots, n_ch=C,
+        interpret=_resolve_interpret(interp_opt),
+    )
+
+
+def _fwd_tiles(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
+               pattern, q, k, bias_tiles, cheb_tiles, x, thetas,
+               active_slot=None, src_order=None, src_start=None,
+               src_count=None):
+    out = bell_tiles_out(meta, tile_start, tile_count, a_src, a_tgt,
+                         block_idx, pattern, q, k, bias_tiles, cheb_tiles,
+                         x, thetas, active_slot, src_order, src_start,
+                         src_count)
+    return out, (tile_start, tile_count, a_src, a_tgt, block_idx, pattern,
+                 q, k, bias_tiles, cheb_tiles, x, thetas, out,
+                 active_slot, src_order, src_start, src_count)
+
+
+def _bwd_tiles(meta, res, g):
+    (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
+     bias_tiles, cheb_tiles, x, thetas, out,
+     active_slot, src_order, src_start, src_count) = res
+    max_out, interp_opt = meta
+    S = block_idx.shape[1]
+    A = a_src.shape[0]
+    bias_ns = _tiles_to_ns(bias_tiles.astype(jnp.float32), tile_start, S)
+    cheb_ns = _tiles_to_ns(cheb_tiles.astype(jnp.float32), tile_start, S)
+    dq, dk_, ds_sum, dx, dthetas = _bwd_core(
+        max_out, interp_opt, tile_start, tile_count, a_src, a_tgt,
+        block_idx, pattern, q, k, bias_ns, cheb_ns, x, thetas, out, g,
+        active_slot, src_order, src_start, src_count,
+    )
+    # active-list gather instead of a dense-plane scatter: slot position of
+    # active index a within its target tile is a − tile_start[a_tgt[a]]
+    slot = jnp.arange(A, dtype=tile_start.dtype) - tile_start[a_tgt]
+    dbias_tiles = ds_sum[:, a_tgt, slot].transpose(1, 0, 2, 3)  # (A,H,BS,BS)
+    return (None, None, None, None, None, None,
+            dq, dk_, dbias_tiles.astype(bias_tiles.dtype), None, dx,
+            dthetas, None, None, None, None)
+
+
+bell_tiles_out.defvjp(_fwd_tiles, _bwd_tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -811,6 +938,104 @@ def bell_cheb_conv_with_sat_pallas(
         bell.src_count if fused_bwd else None,
     )
     # (B, Np, nt_pad·Co) t-major → drop fake t-blocks → (B, N, Co, T)
+    return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
+        0, 1, 3, 2
+    ).astype(x.dtype)
+
+
+def bell_cheb_conv_tiles(
+    x: jax.Array,             # (B, N, C, T)
+    emb: jax.Array,           # (B, N, d_model) spatial embeddings
+    bell: BlockEllGraph,
+    *,
+    wq: jax.Array,
+    wk: jax.Array,
+    mask_tiles: jax.Array,    # (A, K, BS, BS) learnable masks ON THE SUPPORT
+    pattern_tiles: jax.Array,  # (A, BS, BS) bool — edge pattern per tile
+    pa_tiles: jax.Array,      # (A, BS, BS) f32 — adj_pa values per tile
+    cheb_tiles: jax.Array,    # (A, K, BS, BS) f32 — T_k values per tile
+    thetas: jax.Array,
+    n_heads: int,
+    d_k: int,
+) -> jax.Array:
+    """Tile-resident BELL spatial conv — the O(N·band) end-to-end path.
+
+    Same semantics as :func:`bell_cheb_conv_with_sat_pallas`, but the
+    learnable graph masks live ONLY on the active-tile support and adj_pa /
+    Chebyshev values arrive as precomputed per-tile constants
+    (``ops.block_sparse.build_bell_tile_constants``). Exact by the
+    reference's own bias semantics — ``adj_pa ⊙ mask_k``
+    (model/DSTAGNN_my.py:126) with adj_pa binarized (lib/dataloader.py:11-15)
+    zeroes every off-support mask entry AND its gradient — while eliminating
+    the dense (K, N, N) mask parameters (+3× Adam state) and every
+    (H, Np, Np) plane build/transpose/scatter from the train step.
+    """
+    if bell.active_src is None or bell.tile_start is None:
+        raise ValueError(
+            "bell_cheb_conv_tiles needs the active-tile list; build the "
+            "graph with block_ell_from_adjacency()."
+        )
+    if not bell.covered:
+        raise ValueError(
+            "the fused BELL kernel requires every target column to have at "
+            "least one in-edge (use include_self=True)."
+        )
+    B, N, C, T = x.shape
+    Np = bell.padded_nodes
+    Co = thetas.shape[-1]
+
+    def pad_n(a, axis):
+        extra = Np - a.shape[axis]
+        if extra == 0:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, extra)
+        return jnp.pad(a, pad)
+
+    f32 = jnp.float32
+    qp = pad_n(
+        jnp.einsum("bnd,dh->bnh", emb, wq).astype(f32).reshape(
+            B, N, n_heads, d_k
+        ), 1,
+    )
+    kp = pad_n(
+        jnp.einsum("bnd,dh->bnh", emb, wk).astype(f32).reshape(
+            B, N, n_heads, d_k
+        ), 1,
+    )
+    q = qp.transpose(0, 2, 1, 3)   # (B, H, Np, dk)
+    k = kp.transpose(0, 2, 1, 3)
+
+    # bias = adj_pa ⊙ mask at pattern entries, -1e30 elsewhere — all on the
+    # active-tile support; the where() also zeroes off-pattern mask grads
+    bias_t = jnp.where(
+        pattern_tiles[:, None],
+        (pa_tiles[:, None] * mask_tiles).astype(f32),
+        jnp.asarray(_NEG, f32),
+    )                               # (A, H, BS, BS)
+
+    xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+
+    interp = _resolve_interpret(None)
+    fused_bwd = (
+        bell.src_order is not None and bell.max_src_blocks > 0
+        and (T * C >= 1024 or interp)
+    )
+    out = bell_tiles_out(
+        (bell.max_src_blocks if fused_bwd else None, None),
+        bell.tile_start, bell.tile_count, bell.active_src, bell.active_tgt,
+        bell.block_idx,
+        (bell.pattern & bell.block_mask[:, :, None, None]).astype(f32),
+        q, k, bias_t, cheb_tiles.astype(f32), xm, thetas.astype(f32),
+        bell.active_slot if fused_bwd else None,
+        bell.src_order if fused_bwd else None,
+        bell.src_start if fused_bwd else None,
+        bell.src_count if fused_bwd else None,
+    )
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
         0, 1, 3, 2
     ).astype(x.dtype)

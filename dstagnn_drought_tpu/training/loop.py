@@ -102,18 +102,14 @@ class Trainer:
         self.family = get_family(t.model_name or "dstagnn")
         key = jax.random.PRNGKey(t.seed)
         key, init_key = jax.random.split(key)
-        self.params, self.constants = self.family.make_model(
-            init_key, self.spec, adj_merge, adj_pa
-        )
-        if t.prng_impl != "threefry":
-            # Training rng (dropout) on the fast generator; init above stays
-            # threefry so weights are identical whatever prng_impl is set.
-            key = jax.random.key(t.seed, impl=t.prng_impl)
         if t.sparse and t.model_name != "dstagnn":
             raise ValueError(
                 f"sparse mode is a dstagnn-family path; got model_name="
                 f"{t.model_name!r}"
             )
+        # build the sparse graph BEFORE the model: tile-resident masks
+        # (mask_format='tiles') are born on the BELL active-tile support
+        ell_graph = None
         if t.sparse:
             # neighbourhood = support of the (elementwise) Chebyshev stack,
             # i.e. the merged graph's pattern plus the identity diagonal
@@ -122,15 +118,31 @@ class Trainer:
                     block_ell_from_adjacency,
                 )
 
-                self.constants["ell"] = block_ell_from_adjacency(
+                ell_graph = block_ell_from_adjacency(
                     adj_merge, block_size=t.block_size
                 )
             else:
                 from dstagnn_drought_tpu.ops.sparse import ell_from_adjacency
 
-                self.constants["ell"] = ell_from_adjacency(
+                ell_graph = ell_from_adjacency(
                     adj_merge, max_degree=t.max_degree or None
                 )
+        use_tiles = t.mask_format == "tiles"
+        if use_tiles and t.graph_axis > 1:
+            raise NotImplementedError(
+                "mask_format='tiles' with a partitioned 'graph' axis is not "
+                "wired yet — use mask_format='dense' for multi-chip BELL"
+            )
+        self.params, self.constants = self.family.make_model(
+            init_key, self.spec, adj_merge, adj_pa,
+            **({"bell": ell_graph} if use_tiles else {}),
+        )
+        if t.prng_impl != "threefry":
+            # Training rng (dropout) on the fast generator; init above stays
+            # threefry so weights are identical whatever prng_impl is set.
+            key = jax.random.key(t.seed, impl=t.prng_impl)
+        if ell_graph is not None:
+            self.constants["ell"] = ell_graph
         self.optimizer = make_optimizer(t.learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.rng = key
@@ -370,6 +382,7 @@ class Trainer:
                 cheb_polys=constants["cheb_polys"],
                 deterministic=True,
                 ell=constants.get("ell"),
+                bell_tiles=constants.get("bell_tiles"),
                 return_attention=True,
             )
             return maps

@@ -53,6 +53,7 @@ def make_train_step(
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             ell=constants.get("ell"),
+            bell_tiles=constants.get("bell_tiles"),
         )
         return smooth_l1_loss(pred, y, sample_weights=weights)
 
@@ -105,6 +106,7 @@ def make_checked_train_step(
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             ell=constants.get("ell"),
+            bell_tiles=constants.get("bell_tiles"),
         )
         return smooth_l1_loss(pred, y, sample_weights=weights)
 
@@ -156,6 +158,7 @@ def make_epoch_runner(
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             ell=constants.get("ell"),
+            bell_tiles=constants.get("bell_tiles"),
         )
         return smooth_l1_loss(pred, y, sample_weights=weights)
 
@@ -210,6 +213,7 @@ def make_eval_step(
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             ell=constants.get("ell"),
+            bell_tiles=constants.get("bell_tiles"),
         )
         return pred, smooth_l1_loss(pred, y)
 
@@ -248,6 +252,7 @@ def make_eval_runner(
                 compute_dtype=compute_dtype,
                 use_pallas=use_pallas,
                 ell=constants.get("ell"),
+            bell_tiles=constants.get("bell_tiles"),
             )
             per_sample = per_sample_smooth_l1(pred.astype(jnp.float32), y)
             return None, (pred, per_sample)
