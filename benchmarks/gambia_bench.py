@@ -166,6 +166,10 @@ def main():
                 sparse=sparse,
                 sparse_format="bell" if "bell" in path else "ell",
                 use_pallas="pallas" in path,
+                # "bell_tiles": masks on the active-tile support — no dense
+                # (K, N, N) params/Adam state, no plane prep in the step
+                mask_format="tiles" if "tiles" in path else "dense",
+                remat="remat" in path,
             ),
         ).validate()
         t0 = time.perf_counter()

@@ -34,6 +34,9 @@ def main():
                     help="GAMBIA config (N=2139, T=144, sparse BELL path)")
     ap.add_argument("--dense", action="store_true",
                     help="with --gambia: profile the dense spatial path")
+    ap.add_argument("--tiles", action="store_true",
+                    help="with --gambia: tile-resident masks (mask_format="
+                         "'tiles')")
     args = ap.parse_args()
 
     import jax
@@ -75,13 +78,19 @@ def main():
         A = np.maximum(A, A.T); np.fill_diagonal(A, 0); A[0, 1] = A[1, 0] = 1
     pa = (rng.random((N, N)) < 0.01).astype(np.float32); np.fill_diagonal(pa, 1)
 
-    params, consts = make_model(jax.random.PRNGKey(0), spec, A, pa)
+    bell = None
     if args.gambia and not args.dense:
         from dstagnn_drought_tpu.ops.block_sparse import (
             block_ell_from_adjacency,
         )
 
-        consts = dict(consts, ell=block_ell_from_adjacency(A, block_size=128))
+        bell = block_ell_from_adjacency(A, block_size=128)
+    params, consts = make_model(
+        jax.random.PRNGKey(0), spec, A, pa,
+        bell=bell if args.tiles else None,
+    )
+    if bell is not None:
+        consts = dict(consts, ell=bell)
     opt = make_optimizer(1e-4)
     opt_state = opt.init(params)
     step = make_train_step(

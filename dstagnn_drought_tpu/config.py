@@ -87,6 +87,12 @@ class TrainingConfig:
                                     # (precomputed boundary-row all_to_all,
                                     # parallel/graph_partition.py; requires
                                     # num_of_vertices % graph_axis == 0)
+    remat: bool = False             # jax.checkpoint each ST block: recompute
+                                    # block activations in the backward pass
+                                    # instead of storing them — ~1 extra
+                                    # forward of FLOPs for an O(blocks×
+                                    # activations) HBM saving; the knob that
+                                    # fits N=8556+ on one chip.
     fuse_tat: bool = False          # fused temporal-attention Pallas kernel
     fuse_spatial: bool = False      # fused spatial-middle Pallas kernel
                                     # (both measured ≈ XLA at PEMS scale —

@@ -142,13 +142,18 @@ def _init_block(kg: L.KeyGen, spec: ModelSpec, num_of_d: int, in_channels: int,
         # identically zero gradient, model/DSTAGNN_my.py:126 with binarized
         # adj_pa). Entries are iid uniform with the DENSE xavier bound
         # (fan_in = fan_out = N), so the distribution matches a gathered
-        # dense init.
-        A, BS = bell.num_active, bell.block_size
+        # dense init. ``bell`` is a BlockEllGraph (single device,
+        # (A, K, BS, BS)) or a BellTileShardPlan (partitioned,
+        # (P, A_loc, K, BS, BS) — sharded over 'graph' by the trainer).
+        BS = bell.block_size
+        if hasattr(bell, "max_active"):   # BellTileShardPlan
+            shape = (bell.num_shards, bell.max_active, K, BS, BS)
+        else:                             # BlockEllGraph
+            shape = (bell.num_active, K, BS, BS)
         bound = (6.0 / (N + N)) ** 0.5
         p["cheb"]["mask_tiles"] = jnp.asarray(
-            kg().uniform(-bound, bound, size=(A, K, BS, BS)),
-            dtype=jnp.float32,
-        )  # (A, K, BS, BS)
+            kg().uniform(-bound, bound, size=shape), dtype=jnp.float32,
+        )
     for ksz in (3, 5, 7):
         p[f"gtu{ksz}"] = L.conv2d_params(kg, 2 * C, C, 1, ksz)
     p["fcmy"] = L.linear_params(kg, 3 * T - 12, T)
@@ -298,9 +303,29 @@ def _block_apply(
             adj_pa[None] * p["cheb"]["masks"]
             if "masks" in p["cheb"] else None
         )
-        from dstagnn_drought_tpu.parallel.bell_partition import BellShardPlan
+        from dstagnn_drought_tpu.parallel.bell_partition import (
+            BellShardPlan,
+            BellTileShardPlan,
+        )
 
-        if halo is not None and isinstance(halo[1], BellShardPlan):
+        if halo is not None and isinstance(halo[1], BellTileShardPlan):
+            # Node-partitioned tile-resident BELL: targeted block halo
+            # (ship only referenced source blocks), per-shard fused K1/K2
+            # backward, masks sharded over 'graph'.
+            from dstagnn_drought_tpu.parallel.bell_partition import (
+                partitioned_bell_tiles_conv,
+            )
+
+            mesh_, plan_ = halo
+            STAt = jnp.zeros((), x.dtype)
+            spatial_gcn = partitioned_bell_tiles_conv(
+                mesh_, SEmx, x, plan_,
+                mask_tiles=p["cheb"]["mask_tiles"],
+                thetas=p["cheb"]["thetas"],
+                wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                n_heads=spec.K, d_k=spec.d_k,
+            )
+        elif halo is not None and isinstance(halo[1], BellShardPlan):
             # Node-partitioned BELL: each device runs the fused tile kernel
             # on its own target tiles with one all_gather of source rows
             # (parallel/bell_partition.py).
@@ -477,6 +502,7 @@ def apply(
     bell_tiles=None,
     fuse_tat: bool = False,
     fuse_spatial: bool = False,
+    remat: bool = False,
     return_attention: bool = False,
 ) -> jax.Array:
     """Full forward pass. x: (B, N, F, T) → (B, N, num_for_predict).
@@ -494,18 +520,30 @@ def apply(
     res_att = jnp.zeros((), dtype=x.dtype)
     outs = []
     spatial_maps = []
-    for i, bp in enumerate(params["blocks"]):
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
-        else:
-            sub = None
-        x, res_att, stat = _block_apply(
+
+    def block_fn(bp, x, res_att, sub):
+        return _block_apply(
             bp, x, res_att,
             spec=spec, adj_pa=adj_pa, cheb_polys=cheb_polys,
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
             ell=ell, halo=halo, bell_tiles=bell_tiles,
             fuse_tat=fuse_tat, fuse_spatial=fuse_spatial,
         )
+
+    if remat:
+        # rematerialize each ST block's activations in the backward pass:
+        # the big per-block intermediates (temporal-attention chains with
+        # d_model = N, GTU im2col patches — all O(N·T·C) with large
+        # constants) are recomputed instead of stored, trading ~1 extra
+        # forward for the activation memory that dominates HBM at large N
+        block_fn = jax.checkpoint(block_fn)
+
+    for i, bp in enumerate(params["blocks"]):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        x, res_att, stat = block_fn(bp, x, res_att, sub)
         outs.append(x)
         spatial_maps.append(stat)
 
@@ -551,19 +589,23 @@ def make_model(
     polys = cheb_polynomials(L_tilde, spec.K)
     params = init_params(key, spec, bell=bell)
     if bell is not None:
-        from dstagnn_drought_tpu.ops.block_sparse import (
-            build_bell_tile_constants,
-        )
-
         constants = {
-            "bell_tiles": build_bell_tile_constants(
-                bell, np.asarray(adj_pa), np.asarray(polys)
-            ),
             # placeholders: the tile path never builds dense planes; keeping
             # the keys preserves the apply()/step signature
             "cheb_polys": jnp.zeros((spec.K, 1, 1), jnp.float32),
             "adj_pa": jnp.zeros((1, 1), jnp.float32),
         }
+        if not hasattr(bell, "max_active"):
+            # single-device BlockEllGraph: per-tile constants travel in the
+            # constants dict; a BellTileShardPlan carries its own per-shard
+            # constants instead (consumed via the halo closure)
+            from dstagnn_drought_tpu.ops.block_sparse import (
+                build_bell_tile_constants,
+            )
+
+            constants["bell_tiles"] = build_bell_tile_constants(
+                bell, np.asarray(adj_pa), np.asarray(polys)
+            )
         del polys
     else:
         constants = {

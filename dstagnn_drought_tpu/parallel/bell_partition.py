@@ -4,22 +4,20 @@ path composed with the 'graph' mesh axis.
 The fused BELL kernel (ops/pallas/bell_fused.py) streams one active 128×128
 tile at a time; its natural partitioning unit is the **target tile**: each
 device owns a contiguous range of target tiles (= 128-row output blocks) and
-runs the SAME fused kernel on its local tile list. Source features are made
-available with one ``all_gather`` over the 'graph' axis — for the modest
-per-step feature volume of this model family (B·N·C·T) that is the identical
-volume GSPMD inserts for the dense path, and it keeps the kernel untouched
-(the kernel already takes *global* source ids; only k/outputs are local).
-A block-row targeted halo (ship only referenced source blocks) is the same
-optimization the ELL path's :mod:`graph_partition` does and can be layered
-under this plan later; the gather version is the correctness + scaling
-baseline.
+runs the SAME fused kernel on its local tile list.
 
-Host-side, :func:`build_bell_shard_plan` splits a :class:`BlockEllGraph`
-into per-shard tile lists stacked on a leading shard axis (sharded over
-'graph' in the shard_map), padding the tile count to the shard count and the
-active lists to a common length. The per-shard kernel call is rectangular:
-q/x cover all Np source rows, k and the output cover only the shard's
-NJ_loc·BS target rows (ops/pallas/bell_fused.py handles rectangular shapes).
+Two plans live here:
+
+* :class:`BellShardPlan` / :func:`partitioned_bell_conv` — the round-2
+  correctness baseline: dense-mask (plane) operands, ONE ``all_gather`` of
+  all source rows, XLA slot-scan backward.
+* :class:`BellTileShardPlan` / :func:`partitioned_bell_tiles_conv` — the
+  north-star path (BASELINE.json "boundary all-to-all"): tile-resident
+  masks SHARDED over 'graph', a **targeted block halo** that ships only the
+  source blocks each shard actually references (one ``all_to_all`` built
+  from a precomputed send/recv routing table, volume = Σ referenced blocks
+  instead of P·N rows), and the fused K1/K2 Pallas backward running
+  per-shard against the shard's COMPACT source table.
 
 Reference hot loop this scales: /root/reference/model/DSTAGNN_my.py:117-133.
 """
@@ -270,3 +268,435 @@ def partitioned_bell_conv(
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(0, 1, 3, 2).astype(
         x.dtype
     )
+
+
+# ---------------------------------------------------------------------------
+# tile-resident partitioned path: targeted block halo + fused backward
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BellTileShardPlan:
+    """Per-shard BELL structure for the tile-resident partitioned path.
+
+    Source blocks are referenced through a per-shard COMPACT table: shard r
+    sees only the ``ns_true[r]`` source blocks it actually references
+    (padded to ``ns_max``); the routing tables ``send_idx``/``recv_map``
+    drive one targeted ``all_to_all`` that fills the table. Every id in
+    ``block_idx``/``a_src`` is a compact id. All arrays carry a leading
+    shard axis (sharded over 'graph' inside the shard_map).
+    """
+
+    # per-shard tile lists (compact source ids)
+    block_idx: np.ndarray    # (P, NJ_loc, S) int32
+    pattern: np.ndarray      # (P, NJ_loc, S, BS, BS) f32
+    tile_start: np.ndarray   # (P, NJ_loc) int32
+    tile_count: np.ndarray   # (P, NJ_loc) int32
+    a_src: np.ndarray        # (P, A_loc) int32 compact source tile ids
+    a_tgt: np.ndarray        # (P, A_loc) int32 local target tile ids
+    active_slot: np.ndarray  # (P, A_loc) int32
+    # fused-backward source-sorted view (over compact source tiles)
+    src_order: np.ndarray    # (P, A_loc) int32
+    src_start: np.ndarray    # (P, NS_max) int32
+    src_count: np.ndarray    # (P, NS_max) int32
+    # targeted-halo routing
+    send_idx: np.ndarray     # (P, P, H_max) int32 — local block ids to send
+    recv_map: np.ndarray     # (P, NS_max) int32 — flat (owner·H_max+slot)
+    # per-active-entry constants (tile-resident operands)
+    pattern_act: np.ndarray  # (P, A_loc, BS, BS) bool
+    pa_tiles: np.ndarray     # (P, A_loc, BS, BS) f32
+    cheb_tiles: np.ndarray   # (P, A_loc, K, BS, BS) f32
+    # static sizes
+    n_nodes: int
+    block_size: int
+    num_shards: int
+    ns_max: int              # compact source tiles per shard (padded)
+    h_max: int               # exchange slots per (owner, dest) pair
+    max_out: int             # max outgoing tiles of any compact source
+    ns_true: tuple           # true referenced-block count per shard
+    a_true: tuple            # true active-entry count per shard
+    seg_lo: tuple            # augmented-global-list offset per shard
+
+    @property
+    def tiles_per_shard(self) -> int:
+        return self.block_idx.shape[1]
+
+    def pack_active(self, values: np.ndarray, fill=0) -> np.ndarray:
+        """(A_global, ...) values in BlockEllGraph active-list order →
+        (P, A_loc, ...) per-shard layout (pad-tile entries filled).
+
+        Use to carry single-device tile-resident params/constants (e.g.
+        ``mask_tiles``) into the partitioned layout."""
+        v = np.asarray(values)
+        P_ = self.num_shards
+        A_loc = self.max_active
+        n_pad_entries = sum(self.a_true) - v.shape[0]
+        aug = np.concatenate(
+            [v, np.full((n_pad_entries,) + v.shape[1:], fill, v.dtype)]
+        )
+        out = np.full((P_, A_loc) + v.shape[1:], fill, v.dtype)
+        for r in range(P_):
+            n = self.a_true[r]
+            out[r, :n] = aug[self.seg_lo[r]: self.seg_lo[r] + n]
+        return out
+
+    @property
+    def max_active(self) -> int:
+        return self.a_src.shape[1]
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_shards * self.tiles_per_shard * self.block_size
+
+    def halo_stats(self) -> dict:
+        """Exchange-volume accounting: targeted halo vs all_gather."""
+        P_ = self.num_shards
+        NJ_loc = self.tiles_per_shard
+        referenced = int(sum(self.ns_true))
+        remote = 0
+        for r in range(P_):
+            lo, hi = r * NJ_loc, (r + 1) * NJ_loc
+            uniq = np.unique(self.a_src[r][: self.a_true[r]])
+            # recover global ids via recv_map owner index
+            owners = self.recv_map[r][: self.ns_true[r]] // self.h_max
+            remote += int((owners != r).sum())
+        gather_blocks = P_ * P_ * NJ_loc  # all_gather: every shard gets all
+        return {
+            "num_shards": P_,
+            "blocks_total": P_ * NJ_loc,
+            "referenced_blocks": referenced,
+            "remote_blocks": remote,
+            "targeted_exchange_blocks": referenced,
+            "all_gather_blocks": gather_blocks,
+            "volume_vs_all_gather": referenced / max(gather_blocks, 1),
+        }
+
+
+def build_bell_tile_shard_plan(
+    bell: BlockEllGraph, num_shards: int, adj_pa, cheb_polys
+) -> BellTileShardPlan:
+    """Split a BlockEllGraph across ``num_shards`` with compact per-shard
+    source tables, targeted-halo routing, per-shard fused-backward lists,
+    and tile-resident constants (adj_pa / Chebyshev values per active tile).
+    """
+    from dstagnn_drought_tpu.ops.block_sparse import active_tile_values
+
+    if bell.active_src is None or bell.tile_start is None:
+        raise ValueError("build_bell_tile_shard_plan needs the active-tile "
+                         "list (block_ell_from_adjacency).")
+    P_ = num_shards
+    NJ = bell.num_tiles
+    S = bell.max_blocks
+    BS = bell.block_size
+    K = np.asarray(cheb_polys).shape[0]
+    NJ_pad = -(-NJ // P_) * P_
+    NJ_loc = NJ_pad // P_
+
+    counts = np.zeros(NJ_pad, np.int32)
+    counts[:NJ] = np.asarray(bell.tile_count)
+    valid_g = np.asarray(bell.pattern) & np.asarray(
+        bell.block_mask)[:, :, None, None]              # (NJ, S, BS, BS)
+
+    # global active list + per-entry constants, pad tiles appended in order
+    a_src_g = list(np.asarray(bell.active_src))
+    a_tgt_g = list(np.asarray(bell.active_tgt))
+    a_slot_g = list(np.asarray(bell.active_slot))
+    pat_g = list(valid_g[np.asarray(bell.active_tgt),
+                         np.asarray(bell.active_slot)])
+    pa_g = list(active_tile_values(np.asarray(adj_pa), bell))
+    cheb_g = list(active_tile_values(np.asarray(cheb_polys), bell))
+    zero_tile = np.zeros((BS, BS), np.float32)
+    zero_cheb = np.zeros((K, BS, BS), np.float32)
+    for j in range(NJ, NJ_pad):
+        a_src_g.append(j)
+        a_tgt_g.append(j)
+        a_slot_g.append(0)
+        pat_g.append(np.zeros((BS, BS), bool))
+        pa_g.append(zero_tile)
+        cheb_g.append(zero_cheb)
+        counts[j] = 1
+    a_src_g = np.asarray(a_src_g, np.int32)
+    a_tgt_g = np.asarray(a_tgt_g, np.int32)
+    a_slot_g = np.asarray(a_slot_g, np.int32)
+    starts_g = np.r_[0, np.cumsum(counts)[:-1]].astype(np.int32)
+
+    # per-shard block_idx/pattern in slot layout (global ids for now)
+    block_idx_g = np.zeros((NJ_pad, S), np.int32)
+    pattern_g = np.zeros((NJ_pad, S, BS, BS), np.float32)
+    block_idx_g[:NJ] = np.asarray(bell.block_idx)
+    pattern_g[:NJ] = valid_g.astype(np.float32)
+    for j in range(NJ, NJ_pad):
+        block_idx_g[j, 0] = j
+
+    A_loc = int(max(
+        counts[r * NJ_loc:(r + 1) * NJ_loc].sum() for r in range(P_)
+    ))
+    A_loc = max(A_loc, 1)
+
+    # per-shard segments, compact remap, routing
+    owner = lambda g: g // NJ_loc
+    send_lists = [[[] for _ in range(P_)] for _ in range(P_)]  # [o][r]
+    uniq_per_shard = []
+    a_true, ns_true = [], []
+    for r in range(P_):
+        lo_t = r * NJ_loc
+        lo = starts_g[lo_t]
+        hi = lo + counts[lo_t:lo_t + NJ_loc].sum()
+        seg = a_src_g[lo:hi]
+        uniq = np.unique(seg)
+        uniq_per_shard.append(uniq)
+        ns_true.append(len(uniq))
+        a_true.append(int(hi - lo))
+        for g in uniq:
+            send_lists[owner(g)][r].append(int(g % NJ_loc))
+    NS_max = max(max(ns_true), 1)
+    H_max = max(
+        max((len(send_lists[o][r]) for o in range(P_) for r in range(P_)),
+            default=1), 1
+    )
+
+    send_idx = np.zeros((P_, P_, H_max), np.int32)
+    recv_map = np.zeros((P_, NS_max), np.int32)
+    for o in range(P_):
+        for r in range(P_):
+            lst = send_lists[o][r]
+            send_idx[o, r, : len(lst)] = lst
+    for r in range(P_):
+        uniq = uniq_per_shard[r]
+        # position of each unique block within its owner's send list to r
+        pos_in_owner = {}
+        cnt = {}
+        for g in uniq:
+            o = owner(g)
+            pos_in_owner[g] = cnt.get(o, 0)
+            cnt[o] = cnt.get(o, 0) + 1
+        for i, g in enumerate(uniq):
+            recv_map[r, i] = owner(g) * H_max + pos_in_owner[g]
+
+    a_src_c = np.zeros((P_, A_loc), np.int32)
+    a_tgt = np.zeros((P_, A_loc), np.int32)
+    a_slot = np.zeros((P_, A_loc), np.int32)
+    tile_start = np.zeros((P_, NJ_loc), np.int32)
+    tile_count = np.zeros((P_, NJ_loc), np.int32)
+    block_idx_c = np.zeros((P_, NJ_loc, S), np.int32)
+    pattern = np.zeros((P_, NJ_loc, S, BS, BS), np.float32)
+    pattern_act = np.zeros((P_, A_loc, BS, BS), bool)
+    pa_tiles = np.zeros((P_, A_loc, BS, BS), np.float32)
+    cheb_tiles = np.zeros((P_, A_loc, K, BS, BS), np.float32)
+    src_order = np.zeros((P_, A_loc), np.int32)
+    src_start = np.zeros((P_, NS_max), np.int32)
+    src_count = np.zeros((P_, NS_max), np.int32)
+    max_out = 1
+    pa_g = np.asarray(pa_g, np.float32)
+    cheb_g = np.asarray(cheb_g, np.float32)
+    pat_g = np.asarray(pat_g, bool)
+    for r in range(P_):
+        lo_t = r * NJ_loc
+        lo = starts_g[lo_t]
+        n_seg = a_true[r]
+        seg = slice(lo, lo + n_seg)
+        comp = {int(g): i for i, g in enumerate(uniq_per_shard[r])}
+        a_src_c[r, :n_seg] = [comp[int(g)] for g in a_src_g[seg]]
+        # padded tail entries scatter OUT OF BOUNDS (dropped by JAX scatter
+        # semantics) instead of colliding with tile 0 slot 0 in the fused
+        # backward's dA placement
+        a_tgt[r, n_seg:] = NJ_loc
+        a_tgt[r, :n_seg] = a_tgt_g[seg] - lo_t
+        a_slot[r, :n_seg] = a_slot_g[seg]
+        tile_start[r] = starts_g[lo_t:lo_t + NJ_loc] - lo
+        tile_count[r] = counts[lo_t:lo_t + NJ_loc]
+        bi = block_idx_g[lo_t:lo_t + NJ_loc].copy()
+        for j in range(NJ_loc):
+            for s in range(S):
+                bi[j, s] = comp.get(int(bi[j, s]), 0)
+        block_idx_c[r] = bi
+        pattern[r] = pattern_g[lo_t:lo_t + NJ_loc]
+        pattern_act[r, :n_seg] = pat_g[seg]
+        pa_tiles[r, :n_seg] = pa_g[seg]
+        cheb_tiles[r, :n_seg] = cheb_g[seg]
+        order = np.argsort(a_src_c[r, :n_seg], kind="stable").astype(np.int32)
+        src_order[r, :n_seg] = order
+        sc = np.bincount(a_src_c[r, :n_seg], minlength=NS_max).astype(
+            np.int32
+        )
+        src_count[r] = sc
+        src_start[r] = np.r_[0, np.cumsum(sc)[:-1]].astype(np.int32)
+        if sc.max(initial=0) > max_out:
+            max_out = int(sc.max())
+
+    return BellTileShardPlan(
+        block_idx=block_idx_c, pattern=pattern,
+        tile_start=tile_start, tile_count=tile_count,
+        a_src=a_src_c, a_tgt=a_tgt, active_slot=a_slot,
+        src_order=src_order, src_start=src_start, src_count=src_count,
+        send_idx=send_idx, recv_map=recv_map,
+        pattern_act=pattern_act, pa_tiles=pa_tiles, cheb_tiles=cheb_tiles,
+        n_nodes=bell.n_nodes, block_size=BS, num_shards=P_,
+        ns_max=NS_max, h_max=H_max, max_out=max_out,
+        ns_true=tuple(ns_true), a_true=tuple(a_true),
+        seg_lo=tuple(int(starts_g[r * NJ_loc]) for r in range(P_)),
+    )
+
+
+def make_partitioned_bell_tiles_conv(
+    mesh: Mesh, plan: BellTileShardPlan, n_heads: int, d_k: int,
+    interpret: bool | None = None, fused_bwd: bool = True,
+):
+    """Shard_map'd tile-resident BELL conv with the targeted block halo.
+
+    f(emb, x_tm, mask_tiles, thetas, wq, wk, *plan arrays) →
+    (B, Np, nt·Co) t-major. emb/x_tm node-sharded over ('data','graph'),
+    mask_tiles (P, A_loc, K, BS, BS) sharded over 'graph', weights
+    replicated. Each shard: local q/k projections → ONE targeted
+    ``all_to_all`` per operand (x, q) filling its compact source-block
+    table → the fused Pallas kernel on its local tile list, with the fused
+    K1/K2 backward running per shard against the compact table (its dx
+    routes back through the exchange transpose automatically).
+    """
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import bell_tiles_out
+
+    node_sh = P("data", "graph")
+    BS = plan.block_size
+    NJ_loc = plan.tiles_per_shard
+    NS_max = plan.ns_max
+    H_max = plan.h_max
+
+    def local_fn(emb, x_tm, mask_l, bi, pat, asrc, atgt, tstart, tcount,
+                 aslot, sorder, sstart, scount, send_idx, recv_map,
+                 pattern_act, pa_t, cheb_t, thetas, wq, wk):
+        (mask_l, bi, pat, asrc, atgt, tstart, tcount, aslot, sorder,
+         sstart, scount, send_idx, recv_map, pattern_act, pa_t, cheb_t) = (
+            mask_l[0], bi[0], pat[0], asrc[0], atgt[0], tstart[0],
+            tcount[0], aslot[0], sorder[0], sstart[0],
+            scount[0], send_idx[0], recv_map[0],
+            pattern_act[0], pa_t[0], cheb_t[0],
+        )
+        B = emb.shape[0]
+        f32 = jnp.float32
+        q_loc = jnp.einsum("bnd,dh->bnh", emb, wq).astype(f32)
+        k_loc = jnp.einsum("bnd,dh->bnh", emb, wk).astype(f32)
+
+        def exchange(v):
+            """(B, NJ_loc·BS, D) local rows → (B, NS_max·BS, D) compact
+            referenced-source table via the targeted all_to_all."""
+            D = v.shape[-1]
+            blocks = v.reshape(B, NJ_loc, BS, D)
+            # (P, H_max) send table → (P, H_max, B, BS, D)
+            send = jnp.moveaxis(blocks[:, send_idx], 0, 2)
+            recv = jax.lax.all_to_all(
+                send, "graph", split_axis=0, concat_axis=0, tiled=True
+            )                               # recv[o, h] = owner o's slot h
+            flat = recv.reshape(-1, B, BS, D)
+            comp = flat[recv_map]           # (NS_max, B, BS, D)
+            return jnp.moveaxis(comp, 1, 0).reshape(B, NS_max * BS, D)
+
+        x_c = exchange(x_tm)
+        q_c = exchange(q_loc)
+        q = q_c.reshape(B, NS_max * BS, n_heads, d_k).transpose(0, 2, 1, 3)
+        k = k_loc.reshape(B, NJ_loc * BS, n_heads, d_k).transpose(0, 2, 1, 3)
+        bias_t = jnp.where(
+            pattern_act[:, None],
+            (pa_t[:, None] * mask_l).astype(f32),
+            jnp.asarray(-1e30, f32),
+        )
+        return bell_tiles_out(
+            (plan.max_out if fused_bwd else None, interpret),
+            tstart, tcount, asrc, atgt, bi, pat,
+            q, k, bias_t, cheb_t, x_c, thetas,
+            aslot if fused_bwd else None,
+            sorder if fused_bwd else None,
+            sstart if fused_bwd else None,
+            scount if fused_bwd else None,
+        )
+
+    shard1 = lambda nd: P(*(("graph",) + (None,) * (nd - 1)))
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            node_sh,                # emb
+            node_sh,                # x_tm
+            shard1(5),              # mask_tiles (P, A_loc, K, BS, BS)
+            shard1(3),              # block_idx
+            shard1(5),              # pattern
+            shard1(2), shard1(2),   # a_src, a_tgt
+            shard1(2), shard1(2),   # tile_start, tile_count
+            shard1(2),              # active_slot
+            shard1(2),              # src_order
+            shard1(2), shard1(2),   # src_start, src_count
+            shard1(3),              # send_idx (P, P, H_max)
+            shard1(2),              # recv_map
+            shard1(4),              # pattern_act
+            shard1(4),              # pa_tiles
+            shard1(5),              # cheb_tiles
+            P(),                    # thetas
+            P(),                    # wq
+            P(),                    # wk
+        ),
+        out_specs=node_sh,
+        # pallas_call inside shard_map: the kernel's out_shape carries no
+        # varying-mesh-axes annotation, so the vma check cannot run
+        check_vma=False,
+    )
+
+
+def partitioned_bell_tiles_conv(
+    mesh: Mesh,
+    emb: jax.Array,           # (B, N, d_model)
+    x: jax.Array,             # (B, N, C, T)
+    plan: BellTileShardPlan,
+    *,
+    mask_tiles: jax.Array,    # (P, A_loc, K, BS, BS) — sharded over 'graph'
+    thetas: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    n_heads: int,
+    d_k: int,
+    fused_bwd: bool = True,
+) -> jax.Array:
+    """Model-facing wrapper: pads node axes to the plan's block grid, runs
+    the targeted-halo shard_map with per-shard fused kernels, and returns
+    (B, N, Co, T)."""
+    B, N, C, T = x.shape
+    Np = plan.padded_nodes
+    Co = thetas.shape[-1]
+
+    def pad_n(a, axis):
+        extra = Np - a.shape[axis]
+        if extra == 0:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, extra)
+        return jnp.pad(a, pad)
+
+    emb_p = pad_n(emb, 1)
+    x_tm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+
+    def _gcd(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+
+    interpret = next(iter(mesh.devices.flat)).platform.lower() != "tpu"
+    f = make_partitioned_bell_tiles_conv(
+        mesh, plan, n_heads, d_k, interpret=interpret, fused_bwd=fused_bwd
+    )
+    out = f(
+        emb_p, x_tm, mask_tiles,
+        jnp.asarray(plan.block_idx), jnp.asarray(plan.pattern),
+        jnp.asarray(plan.a_src), jnp.asarray(plan.a_tgt),
+        jnp.asarray(plan.tile_start), jnp.asarray(plan.tile_count),
+        jnp.asarray(plan.active_slot), jnp.asarray(plan.src_order),
+        jnp.asarray(plan.src_start), jnp.asarray(plan.src_count),
+        jnp.asarray(plan.send_idx), jnp.asarray(plan.recv_map),
+        jnp.asarray(plan.pattern_act), jnp.asarray(plan.pa_tiles),
+        jnp.asarray(plan.cheb_tiles),
+        thetas.astype(jnp.float32), wq, wk,
+    )
+    return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
+        0, 1, 3, 2
+    ).astype(x.dtype)

@@ -128,14 +128,30 @@ class Trainer:
                     adj_merge, max_degree=t.max_degree or None
                 )
         use_tiles = t.mask_format == "tiles"
+        self._bell_plan = None
         if use_tiles and t.graph_axis > 1:
-            raise NotImplementedError(
-                "mask_format='tiles' with a partitioned 'graph' axis is not "
-                "wired yet — use mask_format='dense' for multi-chip BELL"
+            # partitioned tile-resident BELL: build the targeted-halo shard
+            # plan (needs the Chebyshev values for its per-tile constants)
+            from dstagnn_drought_tpu.ops.graph import (
+                cheb_polynomials,
+                scaled_laplacian,
             )
+            from dstagnn_drought_tpu.parallel.bell_partition import (
+                build_bell_tile_shard_plan,
+            )
+
+            polys = cheb_polynomials(
+                scaled_laplacian(jnp.asarray(adj_merge, jnp.float32)), t.K
+            )
+            self._bell_plan = build_bell_tile_shard_plan(
+                ell_graph, t.graph_axis, np.asarray(adj_pa),
+                np.asarray(polys),
+            )
+        bell_for_init = self._bell_plan if self._bell_plan is not None \
+            else ell_graph
         self.params, self.constants = self.family.make_model(
             init_key, self.spec, adj_merge, adj_pa,
-            **({"bell": ell_graph} if use_tiles else {}),
+            **({"bell": bell_for_init} if use_tiles else {}),
         )
         if t.prng_impl != "threefry":
             # Training rng (dropout) on the fast generator; init above stays
@@ -176,18 +192,51 @@ class Trainer:
             apply_extra["fuse_tat"] = True
         if t.fuse_spatial:
             apply_extra["fuse_spatial"] = True
+        if t.remat:
+            apply_extra["remat"] = True
         if (
             t.sparse and mesh is not None and t.graph_axis > 1
             and t.sparse_format == "bell"
         ):
-            # BELL × mesh: target tiles partitioned over 'graph', each device
-            # runs the fused tile kernel with one all_gather of source rows
-            from dstagnn_drought_tpu.parallel.bell_partition import (
-                build_bell_shard_plan,
-            )
+            if self._bell_plan is not None:
+                # tile-resident partitioned BELL: targeted block halo +
+                # per-shard fused backward; mask params sharded over 'graph'
+                from jax.sharding import NamedSharding, PartitionSpec as PS
 
-            plan = build_bell_shard_plan(self.constants["ell"], t.graph_axis)
-            apply_extra["halo"] = (mesh, plan)
+                apply_extra["halo"] = (mesh, self._bell_plan)
+                mask_sh = NamedSharding(
+                    mesh, PS("graph", None, None, None, None)
+                )
+                repl_sh = NamedSharding(mesh, PS())
+
+                def _place(path, leaf):
+                    keys = [getattr(p_, "key", None) for p_ in path]
+                    if keys[-1] == "mask_tiles":
+                        return mask_sh
+                    # keep a mesh placement the leaf already has (TP may
+                    # have sharded the TAt weights above); anything still on
+                    # a single device gets replicated onto the mesh
+                    sh = getattr(leaf, "sharding", None)
+                    if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                        return sh
+                    return repl_sh
+
+                self.params = jax.device_put(
+                    self.params,
+                    jax.tree_util.tree_map_with_path(_place, self.params),
+                )
+                self.opt_state = jax.jit(self.optimizer.init)(self.params)
+            else:
+                # dense-mask baseline: target tiles partitioned over
+                # 'graph', one all_gather of source rows per step
+                from dstagnn_drought_tpu.parallel.bell_partition import (
+                    build_bell_shard_plan,
+                )
+
+                plan = build_bell_shard_plan(
+                    self.constants["ell"], t.graph_axis
+                )
+                apply_extra["halo"] = (mesh, plan)
         elif (
             t.sparse and t.halo == "targeted" and mesh is not None
             and t.graph_axis > 1 and t.sparse_format == "ell"
