@@ -170,6 +170,8 @@ def main():
                 # (K, N, N) params/Adam state, no plane prep in the step
                 mask_format="tiles" if "tiles" in path else "dense",
                 remat="remat" in path,
+                # "xgtu" token: disable the fused GTU kernel (A/B baseline)
+                fuse_gtu=False if "xgtu" in path else "auto",
             ),
         ).validate()
         t0 = time.perf_counter()

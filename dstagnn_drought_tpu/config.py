@@ -97,6 +97,13 @@ class TrainingConfig:
     fuse_spatial: bool = False      # fused spatial-middle Pallas kernel
                                     # (both measured ≈ XLA at PEMS scale —
                                     # see BENCH_NOTES.md; for experimentation)
+    fuse_gtu: str | bool = "auto"   # fused GTU→concat→fcmy Pallas kernel
+                                    # (ops/pallas/gtu_fused.py). "auto" =
+                                    # on for TPU when the shape qualifies
+                                    # (T ≥ 48, stride 1, tile-aligned C/T —
+                                    # the GAMBIA long-T regime); the measured
+                                    # ~25 ms/step im2col+concat+fcmy HBM
+                                    # cost collapses into one x pass.
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
     tensorboard: bool = False       # also write TensorBoard scalars to <run_dir>/tb
     nan_policy: str = "abort"       # "abort" | "rollback" (restore last good
@@ -180,6 +187,9 @@ class Config:
         if t.nan_policy not in ("abort", "rollback"):
             raise ValueError(f"nan_policy must be 'abort' or 'rollback', got "
                              f"{t.nan_policy!r}")
+        if not isinstance(t.fuse_gtu, bool) and t.fuse_gtu != "auto":
+            raise ValueError(f"fuse_gtu must be a bool or 'auto', got "
+                             f"{t.fuse_gtu!r}")
         return self
 
 
@@ -194,6 +204,9 @@ def _coerce(field: dataclasses.Field, raw: str):
         return float(raw)
     if ftype in ("bool", bool):
         return _BOOL[raw.strip().lower()]
+    if ftype in ("str | bool",):
+        low = raw.strip().lower()
+        return _BOOL[low] if low in _BOOL else low
     if ftype in ("Optional[str]",):
         return raw or None
     return raw

@@ -195,6 +195,7 @@ def _block_apply(
     bell_tiles=None,
     fuse_tat: bool = False,
     fuse_spatial: bool = False,
+    fuse_gtu: bool = False,
 ):
     B, N, F, T = x.shape
     if F == 1:
@@ -454,6 +455,36 @@ def _block_apply(
                 thetas=p["cheb"]["thetas"],
             )  # (B, N, C, T)
 
+    if fuse_gtu:
+        # Fused Pallas temporal tail (ops/pallas/gtu_fused.py): the three
+        # gated convs + time concat + fcmy in one x pass, entirely in the
+        # (B, N, C, T) layout — no BCNT transposes, no HBM ``cols`` tensor.
+        from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy
+
+        time_conv = gtu_fcmy(
+            None, spatial_gcn,
+            p["gtu3"]["w"], p["gtu3"]["b"],
+            p["gtu5"]["w"], p["gtu5"]["b"],
+            p["gtu7"]["w"], p["gtu7"]["b"],
+            p["fcmy"]["w"], p["fcmy"]["b"],
+        )  # (B, N, C, T)
+        time_conv = dropout(time_conv, spec.dropout_rate, k2, deterministic)
+        if F == 1:
+            time_conv_output = jax.nn.relu(time_conv)
+        else:
+            time_conv_output = jax.nn.relu(spatial_gcn + time_conv)
+        if F == spec.nb_time_filter:
+            x_residual = x  # identity residual (:251), already (B, N, C, T)
+        else:
+            # (1,1) conv = per-node channel map; stride is 1 on this path
+            x_residual = jnp.einsum(
+                "bnft,cf->bnct", x, p["residual_conv"]["w"][:, :, 0, 0]
+            ) + p["residual_conv"]["b"][None, None, :, None]
+        y = jax.nn.relu(x_residual + time_conv_output)  # (B, N, C, T)
+        y = layer_norm(y.transpose(0, 3, 1, 2), p["ln"]["scale"],
+                       p["ln"]["bias"])  # (B, T, N, C), LN over C
+        return y.transpose(0, 2, 3, 1), re_at, STAt  # (B, N, C, T)
+
     X = spatial_gcn.transpose(0, 2, 1, 3)  # (B, C, N, T)
     g = [
         gtu(X, p[f"gtu{k}"]["w"], p[f"gtu{k}"]["b"],
@@ -502,6 +533,7 @@ def apply(
     bell_tiles=None,
     fuse_tat: bool = False,
     fuse_spatial: bool = False,
+    fuse_gtu: bool = False,
     remat: bool = False,
     return_attention: bool = False,
 ) -> jax.Array:
@@ -528,6 +560,7 @@ def apply(
             deterministic=deterministic, rng=sub, use_pallas=use_pallas,
             ell=ell, halo=halo, bell_tiles=bell_tiles,
             fuse_tat=fuse_tat, fuse_spatial=fuse_spatial,
+            fuse_gtu=fuse_gtu,
         )
 
     if remat:

@@ -192,6 +192,29 @@ class Trainer:
             apply_extra["fuse_tat"] = True
         if t.fuse_spatial:
             apply_extra["fuse_spatial"] = True
+        fuse_gtu = t.fuse_gtu
+        if fuse_gtu == "auto":
+            # on for TPU at qualifying shapes (the GAMBIA long-T regime);
+            # the kernel itself interprets off-TPU, so "auto" stays off
+            # there to keep CPU runs on the fast XLA path
+            from dstagnn_drought_tpu.ops.pallas.gtu_fused import (
+                supported as _gtu_supported,
+            )
+
+            fuse_gtu = (
+                jax.default_backend() == "tpu"
+                and t.model_name in (None, "", "dstagnn")
+                and _gtu_supported(t.nb_time_filter,
+                                   self.cfg.data.len_input, t.time_strides)
+                and t.nb_chev_filter == t.nb_time_filter
+            )
+        if fuse_gtu:
+            if t.model_name not in (None, "", "dstagnn"):
+                raise ValueError(
+                    "fuse_gtu is a dstagnn-family kernel; got "
+                    f"model_name={t.model_name!r}"
+                )
+            apply_extra["fuse_gtu"] = True
         if t.remat:
             apply_extra["remat"] = True
         if (
