@@ -97,13 +97,13 @@ class TrainingConfig:
     fuse_spatial: bool = False      # fused spatial-middle Pallas kernel
                                     # (both measured ≈ XLA at PEMS scale —
                                     # see BENCH_NOTES.md; for experimentation)
-    fuse_gtu: str | bool = "auto"   # fused GTU→concat→fcmy Pallas kernel
-                                    # (ops/pallas/gtu_fused.py). "auto" =
-                                    # on for TPU when the shape qualifies
-                                    # (T ≥ 48, stride 1, tile-aligned C/T —
-                                    # the GAMBIA long-T regime); the measured
-                                    # ~25 ms/step im2col+concat+fcmy HBM
-                                    # cost collapses into one x pass.
+    fuse_gtu: str | bool = "auto"   # fused GTU→concat Pallas kernel
+                                    # (ops/pallas/gtu_fused.py). "auto"
+                                    # resolves OFF: measured a negative at
+                                    # GAMBIA shapes (29.2 vs 18.5 ms/block
+                                    # fwd+bwd vs XLA im2col — C=32-granular
+                                    # contractions cap MXU util ~25%; see
+                                    # BENCH_NOTES round 4). Opt-in knob.
     checkpoint_every: int = 0       # 0 = only best-val checkpoints (reference behaviour)
     tensorboard: bool = False       # also write TensorBoard scalars to <run_dir>/tb
     nan_policy: str = "abort"       # "abort" | "rollback" (restore last good

@@ -1,29 +1,39 @@
-"""Fused Pallas kernel for the GTU temporal stack: 3 gated (1,k) convs →
-time-axis concat → fcmy linear, in ONE pass over x.
+"""Fused Pallas kernel for the GTU temporal stack: the three gated (1,k)
+convs + time-axis concat in ONE pass over x, transpose-free.
 
 Reference semantics: model/DSTAGNN_my.py:184-197 (GTU: Conv2d(C→2C,
 kernel (1,k)), tanh ⊙ sigmoid gate) and :255-264 (torch cat of the k=3/5/7
-branches along time + ``fcmy`` Linear(3T-12 → T)).
+branches along time; the ``fcmy`` Linear(3T-12 → T) stays in XLA — it is
+one clean matmul).
 
-Why a kernel: the round-3 im2col formulation materializes the window
-tensor ``cols`` (B, N, T_out, k·C) in HBM — ~233 MB bf16 per conv at
-GAMBIA (N=2139, T=144, C=32) — and its autodiff backward re-reads it and
-splits the concat, measured ~25 ms of the 71-78 ms GAMBIA train step
-(op_profile --gambia: the unnamed ``cols @ w2`` backward dot_general,
-the concatenate-backward ``split``, and the fcmy einsum pair). The fused
-kernel reads x ONCE per tile, builds the windows in VMEM as lane-
-concatenated sublane rolls, runs the three convs as (rows, k·C)·(k·C, 2C)
-matmuls, gates on the VPU, applies fcmy per conv as one
-(rows', T_out)·(T_out, T) matmul, and writes only the (B, N, C, T)
-result — HBM traffic drops from ~2.3 GB to ~160 MB per step.
+STATUS (round 4): **measured negative — OPT-IN ONLY** (``fuse_gtu =
+true``; the config default resolves off). Best variant (this one): 29.2
+ms fwd+bwd per GAMBIA block vs 18.5 ms for the XLA im2col path it meant
+to replace (BENCH_NOTES "Fused GTU kernel study"). The op's contractions
+are C=32-granular in every formulation tried — K=32 tap matmuls, K=k·C
+window matmuls with a 64-wide output, or 4-row lane-packed W with ≥4×
+zero-block waste — so MXU utilization caps near 25% and the saved HBM
+traffic (~1.2 GB of im2col windows per conv set) never pays for the lost
+matmul efficiency. Kept as working, parity-tested machinery for future
+shapes where C is MXU-wide.
 
-Layout contract (all static):
-  x, out: (B, N, C, T) — the model's native block layout; the kernel
-  transposes to rows=(b, n, t) lanes=C for the C-contraction and to
-  rows=(b, n, c) lanes=T for the fcmy contraction, entirely in VMEM.
-  Requires T % 16 == 0 and C % 16 == 0 (value-reshape tile alignment for
-  both f32 and bf16) and time_strides == 1; callers fall back to the XLA
-  im2col path otherwise (ops/gtu.py).
+Design (the best of three measured variants): on the row-major
+(b·n·t, C) view, tap kk of every conv consumes the SAME sublane-shifted
+x, so the whole stack is Σ_kk shift(x, kk) · W_kk with W_kk (C, 3·2C)
+holding that tap's columns for all three convs — seven accumulating MXU
+matmuls, no im2col tensor, no lane concat (v2's (rows, 7C) VMEM window
+buffer cost 1.85 ms to build; v1 additionally paid (C, T) transposes and
+per-node fcmy matmuls, 6-8% of roofline). Output columns are grouped
+[all p | all q], so the tanh ⊙ sigmoid gate runs ONCE on (rows, 3C)-wide
+data (per-conv 32-lane gates cost 1.5 ms in v1/v2).
+
+Layout contract: the caller supplies x as (B, N, C, T) and gets
+(B, N, 3T-12, C) — time before channels, ready for the fcmy contraction;
+the wrapper does the single XLA (C, T)→(T, C) transpose on each side
+(HBM-roofline cheap). Requires T % 16 == 0 and C % 16 == 0 (value-reshape
+tile alignment for f32 and bf16) and time_strides == 1; ``supported()``
+gates the model path, which otherwise falls back to the XLA im2col
+(ops/gtu.py).
 """
 from __future__ import annotations
 
@@ -35,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KS = (3, 5, 7)
-TAPS = sum(KS)  # 15
+KMAX = KS[-1]
+NC = len(KS)  # convs
 
 
 def _resolve_interpret(interpret: bool | None) -> bool:
@@ -44,297 +55,286 @@ def _resolve_interpret(interpret: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _windows(xt, C, max_k):
-    """(R, C) rows=(…, t) → (R, max_k·C) lane-concat of sublane rolls.
-
-    Row r of roll -kk holds x rows r+kk (wrapping); wrapped rows only feed
-    output positions t ≥ T_out that nothing ever reads.
-    """
-    R = xt.shape[0]
-    parts = [xt]
-    for kk in range(1, max_k):
-        # upward shift by kk ≡ non-negative roll by R - kk
-        parts.append(pltpu.roll(xt, shift=R - kk, axis=0))
-    return jnp.concatenate(parts, axis=1)
+def _shift_up(v, kk):
+    """Rows r ← v rows r+kk, zero tail (static sublane slice + pad; the
+    zero rows only feed output positions t ≥ T_out that nothing reads)."""
+    if kk == 0:
+        return v
+    return jnp.concatenate(
+        [v[kk:], jnp.zeros((kk,) + v.shape[1:], v.dtype)], axis=0
+    )
 
 
-def _gate(y, C):
-    return jnp.tanh(y[:, :C]) * jax.nn.sigmoid(y[:, C:])
+def _shift_down(v, kk):
+    """Rows r ← v rows r-kk, zero head — the transpose of :func:`_shift_up`
+    (zero rows stand in for cotangents of unread positions, which are
+    identically zero)."""
+    if kk == 0:
+        return v
+    return jnp.concatenate(
+        [jnp.zeros((kk,) + v.shape[1:], v.dtype), v[:-kk]], axis=0
+    )
 
 
-def _make_fwd(B, NT, C, T):
-    R = B * NT * T  # (b, n, t) row count
+def _make_fwd(G, C, T):
+    """Grid step = G (b, n) groups; rows (G·T, C) in, (G, 3T-12, C) out."""
     T_outs = [T - k + 1 for k in KS]
+    W = 2 * NC * C  # fat output width: [p: 3C | q: 3C]
 
-    def kern(x_ref, wc_ref, bc_ref, wfc_ref, bfc_ref, o_ref,
-             gated_sc, acc_sc):
-        x = x_ref[...]                                     # (B, NT, C, T)
-        dt = x.dtype
-        xt = x.transpose(0, 1, 3, 2).reshape(R, C)         # rows (b, n, t)
-        cols = _windows(xt, C, KS[-1])                     # (R, 7C)
-        # fcmy bias: out[(b,n,c), t] starts at bfc[t]
-        acc_sc[...] = jnp.broadcast_to(
-            bfc_ref[...].astype(jnp.float32), (B * NT * C, T)
-        )
-        row0 = 0
-        off = 0
-        for ki, k in enumerate(KS):
-            T_out = T_outs[ki]
-            w_k = wc_ref[row0:row0 + k * C, :].astype(dt)  # (k·C, 2C)
-            y = jax.lax.dot_general(
-                cols[:, :k * C], w_k,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bc_ref[ki, :].astype(jnp.float32)[None, :]
-            g = _gate(y, C)                                # (R, C) f32
-            # rows (b,n,t) → rows (b,n,c), lanes T_out, for the fcmy matmul
-            g4 = g.reshape(B, NT, T, C)[:, :, :T_out, :]
-            gated_sc[:, :, :, :T_out] = g4.transpose(0, 1, 3, 2).astype(dt)
-            w_fc = wfc_ref[off:off + T_out, :].astype(dt)  # (T_out, T)
-            acc_sc[...] += jax.lax.dot_general(
-                gated_sc[...].reshape(B * NT * C, T)[:, :T_out], w_fc,
+    def kern(xt_ref, wr_ref, br_ref, o_ref):
+        dt = xt_ref.dtype
+        x = xt_ref[...]
+        y = br_ref[...].astype(jnp.float32)                # (1, W) bias row
+        for kk in range(KMAX):
+            w_kk = wr_ref[kk * C:(kk + 1) * C, :].astype(dt)
+            y = y + jax.lax.dot_general(
+                _shift_up(x, kk), w_kk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            row0 += k * C
+        gall = jnp.tanh(y[:, :NC * C]) * jax.nn.sigmoid(y[:, NC * C:])
+        off = 0
+        for ki, T_out in enumerate(T_outs):
+            o_ref[:, off:off + T_out, :] = gall[
+                :, ki * C:(ki + 1) * C
+            ].reshape(G, T, C)[:, :T_out, :].astype(o_ref.dtype)
             off += T_out
-        o_ref[...] = acc_sc[...].reshape(B, NT, C, T).astype(o_ref.dtype)
 
     return kern
 
 
-def _make_bwd(B, NT, C, T):
-    R = B * NT * T
-    R2 = B * NT * C
+def _make_bwd(G, C, T):
+    R = G * T
     T_outs = [T - k + 1 for k in KS]
-    M3 = sum(T_outs)
+    W = 2 * NC * C
 
-    def kern(x_ref, g_ref, wc_ref, bc_ref, wfc_ref,
-             dx_ref, dwc_ref, dbc_ref, dwfc_ref, dbfc_ref,
-             pad_sc):
+    def kern(xt_ref, g_ref, wr_ref, br_ref,
+             dx_ref, dwr_ref, dbr_ref):
         j = pl.program_id(0)
 
         @pl.when(j == 0)
         def _():
-            dwc_ref[...] = jnp.zeros_like(dwc_ref)
-            dbc_ref[...] = jnp.zeros_like(dbc_ref)
-            dwfc_ref[...] = jnp.zeros_like(dwfc_ref)
-            dbfc_ref[...] = jnp.zeros_like(dbfc_ref)
+            dwr_ref[...] = jnp.zeros_like(dwr_ref)
+            dbr_ref[...] = jnp.zeros_like(dbr_ref)
 
-        x = x_ref[...]
-        dt = x.dtype
-        xt = x.transpose(0, 1, 3, 2).reshape(R, C)
-        cols = _windows(xt, C, KS[-1])
-        g2 = g_ref[...].reshape(R2, T)                     # rows (b, n, c)
-        dbfc_ref[...] += jnp.sum(g2, axis=0,
-                                 keepdims=True).astype(jnp.float32)
-        dxt = jnp.zeros((R, C), jnp.float32)
-        row0 = 0
-        off = 0
-        for ki, k in enumerate(KS):
-            T_out = T_outs[ki]
-            kC = k * C
-            w_k = wc_ref[row0:row0 + kC, :].astype(dt)
-            # recompute pre-activations (residual-free backward)
-            y = jax.lax.dot_general(
-                cols[:, :kC], w_k,
+        dt = xt_ref.dtype
+        x = xt_ref[...]
+        y = br_ref[...].astype(jnp.float32)
+        for kk in range(KMAX):
+            w_kk = wr_ref[kk * C:(kk + 1) * C, :].astype(dt)
+            y = y + jax.lax.dot_general(
+                _shift_up(x, kk), w_kk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bc_ref[ki, :].astype(jnp.float32)[None, :]
-            th = jnp.tanh(y[:, :C])
-            sg = jax.nn.sigmoid(y[:, C:])
-            # dWfc rows [off:off+T_out] += gatedᵀ · g  (contract rows)
-            g4 = (th * sg).reshape(B, NT, T, C)[:, :, :T_out, :]
-            pad_sc[:, :, :, :T_out] = g4.transpose(0, 1, 3, 2).astype(dt)
-            gated2 = pad_sc[...].reshape(R2, T)[:, :T_out]
-            dwfc_ref[off:off + T_out, :] += jax.lax.dot_general(
-                gated2, g2,
+            )
+        th = jnp.tanh(y[:, :NC * C]).astype(dt)
+        sg = jax.nn.sigmoid(y[:, NC * C:]).astype(dt)
+        # cotangent rows (b,n,t) per conv, zero tail t ≥ T_out (kills both
+        # the unread positions and the shift wraparound), lane-packed to 3C
+        zrow = jnp.zeros((G, KMAX - 1, C), dt)
+        dgall = jnp.concatenate([
+            jnp.concatenate(
+                [g_ref[:, off:off + T_out, :], zrow[:, :T - T_out]], axis=1
+            ).reshape(R, C)
+            for off, T_out in zip(
+                [sum(T_outs[:i]) for i in range(NC)], T_outs
+            )
+        ], axis=1)                                         # (R, 3C)
+        one = jnp.asarray(1.0, dt)
+        dP = dgall * sg * (one - th * th)
+        dQ = dgall * th * sg * (one - sg)
+        dY = jnp.concatenate([dP, dQ], axis=1)             # (R, W) dt
+        dbr_ref[...] += jnp.sum(dY, axis=0,
+                                dtype=jnp.float32)[None, :]
+        dxt = jnp.zeros((R, C), jnp.float32)
+        for kk in range(KMAX):
+            dwr_ref[kk * C:(kk + 1) * C, :] += jax.lax.dot_general(
+                _shift_up(x, kk), dY,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # d(gated) through fcmy: dg2 (R2, T_out) rows (b, n, c); route
-            # back to rows (b, n, t) via pad_sc with a ZERO tail (t ≥ T_out
-            # cotangents must vanish — they also kill the roll wraparound)
-            w_fc = wfc_ref[off:off + T_out, :].astype(dt)
-            dg2 = jax.lax.dot_general(
-                g2, w_fc,
+            w_kk = wr_ref[kk * C:(kk + 1) * C, :].astype(dt)
+            dxt += _shift_down(jax.lax.dot_general(
+                dY, w_kk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                              # (R2, T_out)
-            pad_sc[:, :, :, T_out:] = jnp.zeros(
-                (B, NT, C, T - T_out), dt
-            )
-            pad_sc[:, :, :, :T_out] = dg2.reshape(
-                B, NT, C, T_out
-            ).astype(dt)
-            dgated = pad_sc[...].transpose(0, 1, 3, 2).reshape(R, C) \
-                .astype(jnp.float32)
-            dp = dgated * sg * (1.0 - th * th)
-            dq = dgated * th * sg * (1.0 - sg)
-            dY = jnp.concatenate([dp, dq], axis=1)         # (R, 2C) f32
-            dbc_ref[ki, :] += jnp.sum(dY, axis=0)
-            dYc = dY.astype(dt)
-            dwc_ref[row0:row0 + kC, :] += jax.lax.dot_general(
-                cols[:, :kC], dYc,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for kk in range(k):
-                d_tap = jax.lax.dot_general(
-                    dYc, w_k[kk * C:(kk + 1) * C, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                          # (R, C)
-                dxt += d_tap if kk == 0 else pltpu.roll(
-                    d_tap, shift=kk, axis=0
-                )
-            row0 += kC
-            off += T_out
-        dx_ref[...] = dxt.reshape(B, NT, T, C).transpose(
-            0, 1, 3, 2
-        ).astype(dx_ref.dtype)
+            ), kk)
+        dx_ref[...] = dxt.astype(dx_ref.dtype)
 
     return kern
 
 
-def _pick_nt(B, N, T, C):
-    """Node-tile size: target ~48·144 rows per grid step, VMEM-bounded."""
-    target_rows = 48 * 144
-    nt = max(1, target_rows // max(B * T, 1))
-    return min(nt, max(N, 1))
+def _pick_g(BN, T):
+    """(b, n) groups per grid step: target ~7k rows, capped at the total
+    group count (the caller pads B·N up to a multiple of G)."""
+    return max(1, min((7 * 1024) // max(T, 1), BN))
 
 
-def _pad_n(a, Np):
-    if a.shape[1] == Np:
-        return a
-    pad = [(0, 0)] * a.ndim
-    pad[1] = (0, Np - a.shape[1])
-    return jnp.pad(a, pad)
+_COMPILER = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fwd_call(x, wc, bc, wfc, bfc2, interpret=False):
-    B, Np, C, T = x.shape
-    NT = _pick_nt(B, Np, T, C)
-    Np2 = -(-Np // NT) * NT
-    x = _pad_n(x, Np2)
-    NB = Np2 // NT
-    M3 = wfc.shape[0]
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _fwd_call(xt, wr, br, T, interpret=False):
+    """xt (BN·T, C) → gated concat (BN, 3T-12, C)."""
+    BNT, C = xt.shape
+    BN = BNT // T
+    G = _pick_g(BN, T)
+    BN2 = -(-BN // G) * G
+    if BN2 != BN:
+        xt = jnp.pad(xt, ((0, (BN2 - BN) * T), (0, 0)))
+    M3 = sum(T - k + 1 for k in KS)
+    W = 2 * NC * C
     out = pl.pallas_call(
-        _make_fwd(B, NT, C, T),
-        grid=(NB,),
+        _make_fwd(G, C, T),
+        grid=(BN2 // G,),
         in_specs=[
-            pl.BlockSpec((B, NT, C, T), lambda j: (0, j, 0, 0)),
-            pl.BlockSpec((TAPS * C, 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((len(KS), 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((M3, T), lambda j: (0, 0)),
-            pl.BlockSpec((1, T), lambda j: (0, 0)),
+            pl.BlockSpec((G * T, C), lambda j: (j, 0)),
+            pl.BlockSpec((KMAX * C, W), lambda j: (0, 0)),
+            pl.BlockSpec((1, W), lambda j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((B, NT, C, T), lambda j: (0, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Np2, C, T), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((B, NT, C, T), x.dtype),            # gated, c-major
-            pltpu.VMEM((B * NT * C, T), jnp.float32),      # fcmy accumulator
-        ],
+        out_specs=pl.BlockSpec((G, M3, C), lambda j: (j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BN2, M3, C), xt.dtype),
+        compiler_params=_COMPILER,
         interpret=interpret,
-    )(x, wc, bc, wfc, bfc2)
-    return out[:, :Np]
+    )(xt, wr, br)
+    return out[:BN]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bwd_call(x, g, wc, bc, wfc, interpret=False):
-    B, Np, C, T = x.shape
-    NT = _pick_nt(B, Np, T, C)
-    Np2 = -(-Np // NT) * NT
-    x = _pad_n(x, Np2)
-    g = _pad_n(g, Np2)
-    NB = Np2 // NT
-    M3 = wfc.shape[0]
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _bwd_call(xt, g, wr, br, T, interpret=False):
+    """g (BN, 3T-12, C) cotangent → (dxt (BN·T, C), dwr, dbr)."""
+    BNT, C = xt.shape
+    BN = BNT // T
+    G = _pick_g(BN, T)
+    BN2 = -(-BN // G) * G
+    if BN2 != BN:
+        xt = jnp.pad(xt, ((0, (BN2 - BN) * T), (0, 0)))
+        g = jnp.pad(g, ((0, BN2 - BN), (0, 0), (0, 0)))
+    M3 = sum(T - k + 1 for k in KS)
+    W = 2 * NC * C
     f32 = jnp.float32
-    dx, dwc, dbc, dwfc, dbfc = pl.pallas_call(
-        _make_bwd(B, NT, C, T),
-        grid=(NB,),
+    dxt, dwr, dbr = pl.pallas_call(
+        _make_bwd(G, C, T),
+        grid=(BN2 // G,),
         in_specs=[
-            pl.BlockSpec((B, NT, C, T), lambda j: (0, j, 0, 0)),
-            pl.BlockSpec((B, NT, C, T), lambda j: (0, j, 0, 0)),
-            pl.BlockSpec((TAPS * C, 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((len(KS), 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((M3, T), lambda j: (0, 0)),
+            pl.BlockSpec((G * T, C), lambda j: (j, 0)),
+            pl.BlockSpec((G, M3, C), lambda j: (j, 0, 0)),
+            pl.BlockSpec((KMAX * C, W), lambda j: (0, 0)),
+            pl.BlockSpec((1, W), lambda j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((B, NT, C, T), lambda j: (0, j, 0, 0)),
-            pl.BlockSpec((TAPS * C, 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((len(KS), 2 * C), lambda j: (0, 0)),
-            pl.BlockSpec((M3, T), lambda j: (0, 0)),
-            pl.BlockSpec((1, T), lambda j: (0, 0)),
+            pl.BlockSpec((G * T, C), lambda j: (j, 0)),
+            pl.BlockSpec((KMAX * C, W), lambda j: (0, 0)),
+            pl.BlockSpec((1, W), lambda j: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Np2, C, T), x.dtype),
-            jax.ShapeDtypeStruct((TAPS * C, 2 * C), f32),
-            jax.ShapeDtypeStruct((len(KS), 2 * C), f32),
-            jax.ShapeDtypeStruct((M3, T), f32),
-            jax.ShapeDtypeStruct((1, T), f32),
+            jax.ShapeDtypeStruct((BN2 * T, C), xt.dtype),
+            jax.ShapeDtypeStruct((KMAX * C, W), f32),
+            jax.ShapeDtypeStruct((1, W), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, NT, C, T), x.dtype),            # pad/transpose
-        ],
+        compiler_params=_COMPILER,
         interpret=interpret,
-    )(x, g, wc, bc, wfc)
-    return dx[:, :Np], dwc, dbc, dwfc, dbfc
+    )(xt, g, wr, br)
+    return dxt[:BN * T], dwr, dbr
 
 
-def _pack(w3, b3, w5, b5, w7, b7, wfc):
-    """OIHW conv weights → kernel operand layouts."""
-    ws = []
-    for w in (w3, w5, w7):
-        k = w.shape[-1]
-        C = w.shape[1]
-        ws.append(w[:, :, 0, :].transpose(2, 1, 0).reshape(k * C, -1))
-    wc = jnp.concatenate(ws, axis=0).astype(jnp.float32)   # (15C, 2C)
-    bc = jnp.stack([b3, b5, b7]).astype(jnp.float32)       # (3, 2C)
-    return wc, bc, wfc.astype(jnp.float32)
+def _pack(w3, b3, w5, b5, w7, b7):
+    """OIHW conv weights → tap-row operands.
+
+    ``wr`` (7·C, 6C): rows [kk·C:(kk+1)·C] hold tap kk's input-channel
+    weights for all three convs, columns grouped [p: conv0 C | conv1 C |
+    conv2 C | q: same] (torch GTU: first C output channels gate p, last C
+    gate q). Taps a conv doesn't have stay zero. ``br`` (1, 6C) likewise.
+    """
+    C = w3.shape[1]
+    W = 2 * NC * C
+    wr = jnp.zeros((KMAX * C, W), jnp.float32)
+    br = jnp.zeros((1, W), jnp.float32)
+    for ki, (w, b) in enumerate(((w3, b3), (w5, b5), (w7, b7))):
+        k = KS[ki]
+        wp = w[:C, :, 0, :].astype(jnp.float32)            # (C, C, k)
+        wq = w[C:, :, 0, :].astype(jnp.float32)
+        for kk in range(k):
+            wr = wr.at[kk * C:(kk + 1) * C,
+                       ki * C:(ki + 1) * C].set(wp[:, :, kk].T)
+            wr = wr.at[kk * C:(kk + 1) * C,
+                       (NC + ki) * C:(NC + ki + 1) * C].set(wq[:, :, kk].T)
+        br = br.at[0, ki * C:(ki + 1) * C].set(b[:C].astype(jnp.float32))
+        br = br.at[0, (NC + ki) * C:(NC + ki + 1) * C].set(
+            b[C:].astype(jnp.float32))
+    return wr, br
+
+
+def _unpack_grads(dwr, dbr, C, dtype):
+    """(dwr, dbr) → per-conv OIHW (2C, C, 1, k) grads + (2C,) bias grads,
+    discarding the zero-tap columns a conv doesn't have."""
+    dws, dbs = [], []
+    for ki, k in enumerate(KS):
+        dw = jnp.zeros((2 * C, C, 1, k), dtype)
+        for kk in range(k):
+            blk = dwr[kk * C:(kk + 1) * C]
+            dw = dw.at[:C, :, 0, kk].set(
+                blk[:, ki * C:(ki + 1) * C].T.astype(dtype))
+            dw = dw.at[C:, :, 0, kk].set(
+                blk[:, (NC + ki) * C:(NC + ki + 1) * C].T.astype(dtype))
+        dws.append(dw)
+        dbs.append(jnp.concatenate([
+            dbr[0, ki * C:(ki + 1) * C],
+            dbr[0, (NC + ki) * C:(NC + ki + 1) * C],
+        ]).astype(dtype))
+    return dws, dbs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def gtu_fcmy(interpret, x, w3, b3, w5, b5, w7, b7, wfc, bfc):
-    """Fused 3-GTU → concat → fcmy. x (B, N, C, T) → (B, N, C, T).
+def gtu_cat(interpret, x, w3, b3, w5, b5, w7, b7):
+    """Fused 3-GTU → time concat. x (B, N, C, T) → (B, N, 3T-12, C).
 
-    Matches ``concat([gtu_k(x) for k in (3,5,7)], -1) @ wfc + bfc`` with
-    the model's (B, C, N, T) axes swapped to (B, N, C, T); time_strides=1.
-    ``interpret`` None resolves from the default backend.
+    Matches ``concat([gtu_k(x) for k in (3,5,7)], time)`` with the time
+    axis moved before channels (the fcmy matmul contracts it next);
+    time_strides must be 1. ``interpret`` None = infer from backend.
     """
-    wc, bc, wfc = _pack(w3, b3, w5, b5, w7, b7, wfc)
-    return _fwd_call(x, wc, bc, wfc, bfc.reshape(1, -1).astype(jnp.float32),
-                     interpret=_resolve_interpret(interpret))
+    B, N, C, T = x.shape
+    wr, br = _pack(w3, b3, w5, b5, w7, b7)
+    xt = x.transpose(0, 1, 3, 2).reshape(B * N * T, C)
+    out = _fwd_call(xt, wr, br, T,
+                    interpret=_resolve_interpret(interpret))
+    return out.reshape(B, N, sum(T - k + 1 for k in KS), C)
 
 
-def _vjp_fwd(interpret, x, w3, b3, w5, b5, w7, b7, wfc, bfc):
-    out = gtu_fcmy(interpret, x, w3, b3, w5, b5, w7, b7, wfc, bfc)
-    return out, (x, w3, b3, w5, b5, w7, b7, wfc)
+def _vjp_fwd(interpret, x, w3, b3, w5, b5, w7, b7):
+    out = gtu_cat(interpret, x, w3, b3, w5, b5, w7, b7)
+    return out, (x, w3, b3, w5, b5, w7, b7)
 
 
 def _vjp_bwd(interpret, res, g):
-    x, w3, b3, w5, b5, w7, b7, wfc = res
-    wc, bc, wfc_p = _pack(w3, b3, w5, b5, w7, b7, wfc)
-    dx, dwc, dbc, dwfc, dbfc = _bwd_call(
-        x, g, wc, bc, wfc_p, interpret=_resolve_interpret(interpret)
+    x, w3, b3, w5, b5, w7, b7 = res
+    B, N, C, T = x.shape
+    wr, br = _pack(w3, b3, w5, b5, w7, b7)
+    xt = x.transpose(0, 1, 3, 2).reshape(B * N * T, C)
+    M3 = sum(T - k + 1 for k in KS)
+    dxt, dwr, dbr = _bwd_call(
+        xt, g.reshape(B * N, M3, C), wr, br, T,
+        interpret=_resolve_interpret(interpret),
     )
-    C = x.shape[2]
-    dws, dbs = [], []
-    row0 = 0
-    for ki, k in enumerate(KS):
-        dwk = dwc[row0:row0 + k * C, :]                    # (k·C, 2C)
-        dws.append(
-            dwk.reshape(k, C, 2 * C).transpose(2, 1, 0)[:, :, None, :]
-            .astype(w3.dtype)
-        )
-        dbs.append(dbc[ki].astype(b3.dtype))
-        row0 += k * C
-    return (dx, dws[0], dbs[0], dws[1], dbs[1], dws[2], dbs[2],
-            dwfc.astype(wfc.dtype), dbfc.reshape(-1).astype(wfc.dtype))
+    dx = dxt.reshape(B, N, T, C).transpose(0, 1, 3, 2)
+    dws, dbs = _unpack_grads(dwr, dbr, C, w3.dtype)
+    return (dx, dws[0], dbs[0], dws[1], dbs[1], dws[2], dbs[2])
 
 
-gtu_fcmy.defvjp(_vjp_fwd, _vjp_bwd)
+gtu_cat.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gtu_fcmy(interpret, x, w3, b3, w5, b5, w7, b7, wfc, bfc):
+    """Fused GTU tail: kernel taps+gate+concat, XLA fcmy matmul.
+
+    x (B, N, C, T) → (B, N, C, T); drop-in for the model's
+    gtu/concat/fcmy segment in (B, N, C, T) space.
+    """
+    gc = gtu_cat(interpret, x, w3, b3, w5, b5, w7, b7)
+    return (
+        jnp.einsum("bnmc,mt->bnct", gc, wfc.astype(gc.dtype))
+        + bfc.astype(gc.dtype)[None, None, None, :]
+    )
 
 
 def supported(C: int, T: int, time_strides: int) -> bool:

@@ -194,20 +194,13 @@ class Trainer:
             apply_extra["fuse_spatial"] = True
         fuse_gtu = t.fuse_gtu
         if fuse_gtu == "auto":
-            # on for TPU at qualifying shapes (the GAMBIA long-T regime);
-            # the kernel itself interprets off-TPU, so "auto" stays off
-            # there to keep CPU runs on the fast XLA path
-            from dstagnn_drought_tpu.ops.pallas.gtu_fused import (
-                supported as _gtu_supported,
-            )
-
-            fuse_gtu = (
-                jax.default_backend() == "tpu"
-                and t.model_name in (None, "", "dstagnn")
-                and _gtu_supported(t.nb_time_filter,
-                                   self.cfg.data.len_input, t.time_strides)
-                and t.nb_chev_filter == t.nb_time_filter
-            )
+            # Resolves OFF: the fused GTU kernel measured a NEGATIVE at
+            # GAMBIA shapes (fwd+bwd 29.2 ms vs XLA im2col 18.5 ms per
+            # block — BENCH_NOTES "Fused GTU kernel study", round 4). The
+            # op's C=32-granular contractions cap MXU utilization at ~25%
+            # in every kernel formulation tried, while XLA's im2col fuses
+            # well. Knob kept for experimentation (set fuse_gtu = true).
+            fuse_gtu = False
         if fuse_gtu:
             if t.model_name not in (None, "", "dstagnn"):
                 raise ValueError(
