@@ -813,6 +813,12 @@ def _bwd_tiles(meta, res, g):
      bias_tiles, cheb_tiles, x, thetas, out,
      active_slot, src_order, src_start, src_count) = res
     max_out, interp_opt = meta
+    if src_order is not None and max_out is not None:
+        return _bwd_tiles_active(
+            max_out, interp_opt, tile_start, tile_count, a_src, a_tgt,
+            block_idx, pattern, q, k, bias_tiles, cheb_tiles, x, thetas,
+            out, g, active_slot, src_order, src_start, src_count,
+        )
     S = block_idx.shape[1]
     A = a_src.shape[0]
     bias_ns = _tiles_to_ns(bias_tiles.astype(jnp.float32), tile_start, S)
@@ -829,6 +835,105 @@ def _bwd_tiles(meta, res, g):
     return (None, None, None, None, None, None,
             dq, dk_, dbias_tiles.astype(bias_tiles.dtype), None, dx,
             dthetas, None, None, None, None)
+
+
+def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
+                      a_tgt, block_idx, pattern, q, k, bias_tiles,
+                      cheb_tiles, x, thetas, out, g,
+                      active_slot, src_order, src_start, src_count):
+    """Fused-kernel backward in ACTIVE-LIST organization.
+
+    The slot-organized `_bwd_core` path pays a 51 MB scatter to route K1's
+    per-active-slot dA back into (B, H, NJ, S, BS, BS) form, plus
+    (NJ, S)-padded softmax-recompute/softmax-backward tensors and gathers
+    between the two layouts (measured ~7.7 ms of unnamed backward
+    dot_generals + scatter soup at GAMBIA). Here everything stays on the
+    active list: the softmax recompute and its backward are per-active-tile
+    batched matmuls/elementwise, cross-slot softmax reductions are
+    ``segment_sum``/``segment_max`` over the target-sorted list (A → NJ,
+    contiguous segments), dbias IS the per-active ds (no gather), and the
+    only scatter-adds left are the small per-block dq/dk accumulations
+    (A → NI/NJ on (BS, d_k) tiles)."""
+    B, H, Np_src, dk = q.shape
+    NJ, S = block_idx.shape
+    BS = pattern.shape[-1]
+    NI = Np_src // BS
+    Np_tgt = NJ * BS
+    M = x.shape[-1]
+    C, Co = thetas.shape[1], thetas.shape[2]
+    nt = M // C
+    f32 = jnp.float32
+    A = a_src.shape[0]
+    seg_t = functools.partial(
+        jax.ops.segment_sum, num_segments=NJ, indices_are_sorted=True,
+    )
+    gm = (jnp.asarray(g, f32) * (out > 0)).reshape(B, Np_tgt, nt, Co)
+
+    # softmax recompute, per active tile (B, H, A, BS_src, BS_tgt)
+    qb = q.reshape(B, H, NI, BS, dk)
+    kb = k.reshape(B, H, NJ, BS, dk)
+    q_act = qb[:, :, a_src]
+    k_act = kb[:, :, a_tgt]
+    inv = 1.0 / jnp.sqrt(jnp.asarray(dk, f32))
+    s_act = jnp.einsum("bhasd,bhatd->bhast", q_act, k_act).astype(f32) \
+        * inv + bias_tiles.transpose(1, 0, 2, 3)[None].astype(f32)
+    pat_act = (pattern[a_tgt, active_slot] > 0)         # (A, BS, BS)
+    mx_a = s_act.max(axis=3)                            # (B, H, A, BS_tgt)
+    mx_j = jax.ops.segment_max(
+        jnp.moveaxis(mx_a, 2, 0), a_tgt, num_segments=NJ,
+        indices_are_sorted=True,
+    )                                                   # (NJ, B, H, BS_tgt)
+    es = jnp.exp(
+        s_act - jnp.moveaxis(mx_j[a_tgt], 0, 2)[:, :, :, None, :]
+    )
+    den_j = seg_t(jnp.moveaxis(es.sum(axis=3), 2, 0), a_tgt)
+    inv_d = 1.0 / jnp.maximum(den_j, 1e-30)
+    att = es * jnp.moveaxis(inv_d[a_tgt], 0, 2)[:, :, :, None, :] \
+        * pat_act[None, None]
+    cheb_t = cheb_tiles.transpose(1, 0, 2, 3).astype(f32)  # (H, A, BS, BS)
+
+    # fused kernels: K1 dA+dΘ (target order), K2 dx (source order)
+    from dstagnn_drought_tpu.ops.pallas.bell_bwd import (
+        bell_bwd_dA_dtheta,
+        bell_bwd_dx,
+    )
+
+    interp = _resolve_interpret(interp_opt)
+    w_act = (att * cheb_t[None]).transpose(0, 2, 1, 3, 4)  # (B, A, H, ., .)
+    w_act = jnp.pad(
+        w_act.astype(x.dtype), ((0, 0), (0, S), (0, 0), (0, 0), (0, 0))
+    )
+    a_src_p = jnp.pad(a_src, (0, S))
+    gm_k = gm.reshape(B, Np_tgt, nt * Co).astype(x.dtype)
+    dA_pad, dth = bell_bwd_dA_dtheta(
+        tile_start, tile_count, a_src_p,
+        thetas.astype(f32), gm_k, x, w_act, S_max=S, n_ch=C,
+        interpret=interp,
+    )
+    dA_act = dA_pad[:, :A].transpose(0, 2, 1, 3, 4)     # (B, H, A, ., .)
+    order_tgt = jnp.pad(a_tgt[src_order], (0, S))
+    order_idx = jnp.pad(src_order, (0, S))
+    dx = bell_bwd_dx(
+        src_start, src_count, order_tgt, order_idx,
+        thetas.astype(f32), gm_k, w_act,
+        max_out=max_out, n_ch=C, np_src=Np_src, interpret=interp,
+    ).astype(x.dtype)
+
+    # softmax backward on the active list
+    datt = cheb_t[None] * dA_act
+    dot_j = seg_t(jnp.moveaxis((att * datt).sum(axis=3), 2, 0), a_tgt)
+    ds = att * (datt - jnp.moveaxis(dot_j[a_tgt], 0, 2)[:, :, :, None, :])
+    dq_act = jnp.einsum("bhast,bhatd->bhasd", ds, k_act) * inv
+    dq = jax.ops.segment_sum(
+        jnp.moveaxis(dq_act, 2, 0), a_src, num_segments=NI,
+    ).transpose(1, 2, 0, 3, 4).reshape(B, H, Np_src, dk).astype(q.dtype)
+    dk_act = jnp.einsum("bhast,bhasd->bhatd", ds, q_act) * inv
+    dk_ = jnp.moveaxis(seg_t(jnp.moveaxis(dk_act, 2, 0), a_tgt), 0, 2) \
+        .reshape(B, H, Np_tgt, dk).astype(k.dtype)
+    dbias_tiles = ds.sum(axis=0).transpose(1, 0, 2, 3)  # (A, H, BS, BS)
+    return (None, None, None, None, None, None,
+            dq, dk_, dbias_tiles.astype(bias_tiles.dtype), None, dx,
+            dth.astype(thetas.dtype), None, None, None, None)
 
 
 bell_tiles_out.defvjp(_fwd_tiles, _bwd_tiles)
