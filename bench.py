@@ -1,6 +1,6 @@
-"""Benchmark harness — PEMS08-scale training throughput on one TPU chip.
+"""Benchmark harness — training throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "gambia"}.
 
 Headline metric: PEMS08 training epochs/hour (full jitted train step —
 forward + backward + Adam — at the reference's batch size 64,
@@ -12,6 +12,15 @@ methodology). vs_baseline = ours / reference-empirical.
 
 Steps per epoch uses the real PEMS08 train-split size: 17856 raw steps →
 ~10700 windowed training samples → 168 batches of 64.
+
+The "gambia" object adds the flagship drought configuration (N=2139,
+T=144→12, the repo's namesake) for the dense and tile-resident-BELL
+spatial paths, with the north-star edges/s/chip counter in BOTH
+conventions: "stag_nnz" counts only the aggregated sparse-support edges
+(nnz(merged graph)+N, per Chebyshev order/timestep/sample/block — what the
+sparse path actually computes), and "dense_count" counts N² pairs (what
+the dense einsum computes). The two are separate labeled fields so sparse-
+path gains are visible instead of being flattened by a dense-edge count.
 """
 from __future__ import annotations
 
@@ -111,9 +120,90 @@ def main():
                 ),
                 "edges_per_s_per_chip": round(tp["edges_per_s_per_chip"]),
                 "windows_per_s": round(tp["windows_per_s"], 1),
+                "gambia": _gambia_rows(),
             }
         )
     )
+
+
+def _gambia_rows(epochs: int = 3):
+    """Flagship GAMBIA rows (dense + tile-resident BELL), small-N dict."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import gambia_bench as gb
+        import jax
+
+        from dstagnn_drought_tpu.config import (
+            Config,
+            DataConfig,
+            TrainingConfig,
+        )
+        from dstagnn_drought_tpu.data.dataset import ArrayDataset, Split
+        from dstagnn_drought_tpu.training.loop import Trainer
+        from dstagnn_drought_tpu.training.profiling import throughput
+
+        sig, coords = gb.synth_drought()
+        A = gb.grid_adjacency(coords)
+        rng = np.random.default_rng(1)
+        N = gb.N
+        pa = (rng.random((N, N)) < 0.01).astype(np.float32)
+        np.fill_diagonal(pa, 1)
+        x_tr, y_tr, x_va, y_va, x_te, y_te, mean, std = gb.windows(sig)
+        ds = ArrayDataset(
+            train=Split(x_tr, y_tr), val=Split(x_va, y_va),
+            test=Split(x_te, y_te), mean=mean, std=std,
+        )
+        nnz = int((np.maximum(A, pa) != 0).sum() + N)
+        out = {"N": N, "batch": gb.BATCH}
+        for label, path_sparse in (("dense", False), ("bell_tiles", True)):
+            cfg = Config(
+                data=DataConfig(num_of_vertices=N, len_input=gb.T_IN,
+                                num_for_predict=gb.T_PRED,
+                                dataset_name="GAMBIA_SYN",
+                                points_per_hour=12),
+                training=TrainingConfig(
+                    in_channels=gb.F, nb_block=2, n_heads=2, K=2, d_k=32,
+                    d_model=64, nb_chev_filter=32, nb_time_filter=32,
+                    batch_size=gb.BATCH, epochs=epochs, learning_rate=1e-4,
+                    num_of_hours=12, compute_dtype="bfloat16",
+                    sparse=path_sparse,
+                    sparse_format="bell", use_pallas=path_sparse,
+                    mask_format="tiles" if path_sparse else "dense",
+                ),
+            ).validate()
+            trainer = Trainer(
+                cfg, dataset=ds, adj_merge=A, adj_pa=pa,
+                experiments_root=os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benchmarks", "gambia_runs"),
+            )
+            n_batches = -(-len(x_tr) // gb.BATCH)
+            trainer.train_epoch(0)  # compile epoch
+            t0 = time.perf_counter()
+            for e in range(1, epochs):
+                trainer.train_epoch(e)
+            steady = (time.perf_counter() - t0) / max(epochs - 1, 1)
+            step_s = steady / n_batches
+            nb = cfg.training.nb_block
+            tp_s = throughput(step_seconds=step_s, batch_size=gb.BATCH,
+                              nnz=nnz * nb, K=cfg.training.K, T=gb.T_IN)
+            tp_d = throughput(step_seconds=step_s, batch_size=gb.BATCH,
+                              nnz=N * N * nb, K=cfg.training.K, T=gb.T_IN)
+            out[label] = {
+                "ms_per_step": round(step_s * 1e3, 2),
+                "epochs_per_hour": round(3600 / steady, 1),
+                "edges_per_s_per_chip_stag_nnz": round(
+                    tp_s["edges_per_s_per_chip"]),
+                "edges_per_s_per_chip_dense_count": round(
+                    tp_d["edges_per_s_per_chip"]),
+            }
+        return out
+    except Exception as e:  # keep the headline line intact on any failure
+        return {"error": f"{type(e).__name__}: {e}"}
 
 
 if __name__ == "__main__":

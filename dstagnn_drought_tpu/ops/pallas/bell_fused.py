@@ -869,28 +869,30 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
     )
     gm = (jnp.asarray(g, f32) * (out > 0)).reshape(B, Np_tgt, nt, Co)
 
-    # softmax recompute, per active tile (B, H, A, BS_src, BS_tgt)
-    qb = q.reshape(B, H, NI, BS, dk)
-    kb = k.reshape(B, H, NJ, BS, dk)
-    q_act = qb[:, :, a_src]
-    k_act = kb[:, :, a_tgt]
+    # softmax recompute, per active tile. Everything lives A-LEADING
+    # ((A, B, H, BS, BS)) so the cross-slot segment reductions and the
+    # per-active elementwise chain need NO relayouts; the only two big
+    # transposes left are at the K1 kernel boundary (its operand layout is
+    # (B, A_pad, H, BS, BS)). The gathers hoist the cheap (NI/NJ)-leading
+    # moveaxis of q/k (2 MB) instead of transposing 50 MB activations.
+    qb = jnp.moveaxis(q.reshape(B, H, NI, BS, dk), 2, 0)   # (NI, B, H, ., .)
+    kb = jnp.moveaxis(k.reshape(B, H, NJ, BS, dk), 2, 0)
+    q_act = qb[a_src]                                   # (A, B, H, BS, dk)
+    k_act = kb[a_tgt]
     inv = 1.0 / jnp.sqrt(jnp.asarray(dk, f32))
-    s_act = jnp.einsum("bhasd,bhatd->bhast", q_act, k_act).astype(f32) \
-        * inv + bias_tiles.transpose(1, 0, 2, 3)[None].astype(f32)
+    s_act = jnp.einsum("abhsd,abhtd->abhst", q_act, k_act).astype(f32) \
+        * inv + bias_tiles[:, None].astype(f32)
     pat_act = (pattern[a_tgt, active_slot] > 0)         # (A, BS, BS)
-    mx_a = s_act.max(axis=3)                            # (B, H, A, BS_tgt)
     mx_j = jax.ops.segment_max(
-        jnp.moveaxis(mx_a, 2, 0), a_tgt, num_segments=NJ,
+        s_act.max(axis=3), a_tgt, num_segments=NJ,
         indices_are_sorted=True,
     )                                                   # (NJ, B, H, BS_tgt)
-    es = jnp.exp(
-        s_act - jnp.moveaxis(mx_j[a_tgt], 0, 2)[:, :, :, None, :]
-    )
-    den_j = seg_t(jnp.moveaxis(es.sum(axis=3), 2, 0), a_tgt)
+    es = jnp.exp(s_act - mx_j[a_tgt][:, :, :, None, :])
+    den_j = seg_t(es.sum(axis=3), a_tgt)
     inv_d = 1.0 / jnp.maximum(den_j, 1e-30)
-    att = es * jnp.moveaxis(inv_d[a_tgt], 0, 2)[:, :, :, None, :] \
-        * pat_act[None, None]
-    cheb_t = cheb_tiles.transpose(1, 0, 2, 3).astype(f32)  # (H, A, BS, BS)
+    att = es * inv_d[a_tgt][:, :, :, None, :] \
+        * pat_act[:, None, None, :, :]
+    cheb_a = cheb_tiles[:, None].astype(f32)            # (A, 1, H, BS, BS)
 
     # fused kernels: K1 dA+dΘ (target order), K2 dx (source order)
     from dstagnn_drought_tpu.ops.pallas.bell_bwd import (
@@ -899,7 +901,7 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
     )
 
     interp = _resolve_interpret(interp_opt)
-    w_act = (att * cheb_t[None]).transpose(0, 2, 1, 3, 4)  # (B, A, H, ., .)
+    w_act = jnp.moveaxis(att * cheb_a, 0, 1)            # (B, A, H, ., .)
     w_act = jnp.pad(
         w_act.astype(x.dtype), ((0, 0), (0, S), (0, 0), (0, 0), (0, 0))
     )
@@ -910,7 +912,7 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
         thetas.astype(f32), gm_k, x, w_act, S_max=S, n_ch=C,
         interpret=interp,
     )
-    dA_act = dA_pad[:, :A].transpose(0, 2, 1, 3, 4)     # (B, H, A, ., .)
+    dA_act = jnp.moveaxis(dA_pad[:, :A], 1, 0)          # (A, B, H, ., .)
     order_tgt = jnp.pad(a_tgt[src_order], (0, S))
     order_idx = jnp.pad(src_order, (0, S))
     dx = bell_bwd_dx(
@@ -919,18 +921,18 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
         max_out=max_out, n_ch=C, np_src=Np_src, interpret=interp,
     ).astype(x.dtype)
 
-    # softmax backward on the active list
-    datt = cheb_t[None] * dA_act
-    dot_j = seg_t(jnp.moveaxis((att * datt).sum(axis=3), 2, 0), a_tgt)
-    ds = att * (datt - jnp.moveaxis(dot_j[a_tgt], 0, 2)[:, :, :, None, :])
-    dq_act = jnp.einsum("bhast,bhatd->bhasd", ds, k_act) * inv
-    dq = jax.ops.segment_sum(
-        jnp.moveaxis(dq_act, 2, 0), a_src, num_segments=NI,
-    ).transpose(1, 2, 0, 3, 4).reshape(B, H, Np_src, dk).astype(q.dtype)
-    dk_act = jnp.einsum("bhast,bhasd->bhatd", ds, q_act) * inv
-    dk_ = jnp.moveaxis(seg_t(jnp.moveaxis(dk_act, 2, 0), a_tgt), 0, 2) \
+    # softmax backward on the active list (A-leading throughout)
+    datt = cheb_a * dA_act
+    dot_j = seg_t((att * datt).sum(axis=3), a_tgt)
+    ds = att * (datt - dot_j[a_tgt][:, :, :, None, :])
+    dq_act = jnp.einsum("abhst,abhtd->abhsd", ds, k_act) * inv
+    dq = jnp.moveaxis(
+        jax.ops.segment_sum(dq_act, a_src, num_segments=NI), 0, 2
+    ).reshape(B, H, Np_src, dk).astype(q.dtype)
+    dk_act = jnp.einsum("abhst,abhsd->abhtd", ds, q_act) * inv
+    dk_ = jnp.moveaxis(seg_t(dk_act, a_tgt), 0, 2) \
         .reshape(B, H, Np_tgt, dk).astype(k.dtype)
-    dbias_tiles = ds.sum(axis=0).transpose(1, 0, 2, 3)  # (A, H, BS, BS)
+    dbias_tiles = ds.sum(axis=1)                        # (A, H, BS, BS)
     return (None, None, None, None, None, None,
             dq, dk_, dbias_tiles.astype(bias_tiles.dtype), None, dx,
             dth.astype(thetas.dtype), None, None, None, None)
