@@ -94,11 +94,16 @@ def report(shape, kernel, meas_s, flops, bytes_, peak):
     t_flops = flops / peak
     t_bytes = bytes_ / BW
     model = max(t_flops, t_bytes)
+    # sub-harness-resolution measurements (the chained-glue subtraction
+    # bottoms out around ~0.1 ms) are reported without a bogus percentage
+    resolvable = meas_s > 1e-4
     print(json.dumps({
         "shape": shape, "kernel": kernel,
-        "measured_ms": round(meas_s * 1e3, 3),
+        "measured_ms": round(meas_s * 1e3, 3) if resolvable else
+        "<0.1 (below harness resolution)",
         "model_ms": round(model * 1e3, 3),
-        "pct_of_roofline": round(100 * model / meas_s, 1),
+        "pct_of_roofline": round(100 * model / meas_s, 1)
+        if resolvable else None,
         "binding": "MXU" if t_flops >= t_bytes else "HBM",
         "gflops": round(flops / 1e9, 1),
         "mbytes": round(bytes_ / 1e6, 1),
