@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (grads w.r.t. activations AND "
                          "weights — the training cost) instead of fwd only")
+    ap.add_argument("--check-tiles", action="store_true",
+                    help="numerical parity of the TILE-RESIDENT path "
+                         "(active-list masks + active-list fused backward) "
+                         "against the XLA BELL path with dense masks "
+                         "gathered to the same support")
     ap.add_argument("--check", action="store_true",
                     help="numerical parity on the CURRENT backend: compare "
                          "bell_pallas against the XLA BELL path (fwd + "
@@ -153,6 +158,88 @@ def main():
                 x, emb, bell, wq=wq, wk=wk, adj_pa=adj_pa, masks=masks,
                 cheb_polys=cheb, thetas=thetas, n_heads=K, d_k=dk,
             )
+
+        if args.check_tiles:
+            # tile-resident path (mask_format='tiles': active-list masks +
+            # the active-list fused backward) vs the XLA BELL path with
+            # DENSE masks gathered to the same support — validates the
+            # Mosaic-compiled kernels AND the segment-organized backward on
+            # real hardware. Exact by the bias = adj_pa ⊙ mask semantics:
+            # off-support entries contribute nothing in either path.
+            from dstagnn_drought_tpu.ops.block_sparse import (
+                build_bell_tile_constants,
+            )
+            from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+                bell_cheb_conv_tiles,
+            )
+
+            consts_t = build_bell_tile_constants(
+                bell, np.asarray(adj_pa), np.asarray(cheb)
+            )
+            BS = bell.block_size
+            A_n = int(bell.active_src.shape[0])
+            # tile masks gathered from the SAME dense masks the XLA ref uses
+            Np = bell.num_tiles * BS
+            masks_p = np.zeros((K, Np, Np), np.float32)
+            masks_p[:, :N, :N] = np.asarray(masks, np.float32)
+            m5 = masks_p.reshape(K, bell.num_tiles, BS, bell.num_tiles,
+                                 BS).transpose(1, 3, 0, 2, 4)
+            mask_tiles = jnp.asarray(
+                m5[np.asarray(bell.active_src), np.asarray(bell.active_tgt)]
+            )
+
+            def tiles_fn(emb, x, mask_tiles, thetas, wq, wk):
+                return bell_cheb_conv_tiles(
+                    x, emb, bell, wq=wq, wk=wk, mask_tiles=mask_tiles,
+                    pattern_tiles=consts_t["pattern_tiles"],
+                    pa_tiles=consts_t["pa_tiles"],
+                    cheb_tiles=consts_t["cheb_tiles"],
+                    thetas=thetas, n_heads=K, d_k=dk,
+                )
+
+            ref_fn = jax.jit(bell_block)
+            argsr = (emb, x, masks, thetas, wq, wk)
+            argst = (emb, x, mask_tiles, thetas, wq, wk)
+            ref_o = np.asarray(ref_fn(*argsr), np.float32)
+            til_o = np.asarray(jax.jit(tiles_fn)(*argst), np.float32)
+            scale = max(np.abs(ref_o).max(), 1e-6)
+            fwd_rel = float(np.abs(til_o - ref_o).max() / scale)
+
+            def loss(f):
+                return lambda *a: jnp.sum(f(*a) ** 2)
+
+            g_ref = jax.jit(jax.grad(loss(bell_block),
+                                     argnums=tuple(range(6))))(*argsr)
+            g_til = jax.jit(jax.grad(loss(tiles_fn),
+                                     argnums=tuple(range(6))))(*argst)
+            # map the reference's dense-mask grad onto the tile support
+            gm_p = np.zeros((K, Np, Np), np.float32)
+            gm_p[:, :N, :N] = np.asarray(g_ref[2], np.float32)
+            gm5 = gm_p.reshape(K, bell.num_tiles, BS, bell.num_tiles,
+                               BS).transpose(1, 3, 0, 2, 4)
+            g_ref = list(g_ref)
+            g_ref[2] = gm5[np.asarray(bell.active_src),
+                           np.asarray(bell.active_tgt)]
+            rels = {}
+            for gr, gp, nm in zip(g_ref, g_til,
+                                  ("emb", "x", "mask_tiles", "thetas",
+                                   "wq", "wk")):
+                gr = np.asarray(gr, np.float32)
+                gp = np.asarray(gp, np.float32)
+                rels[nm] = float(
+                    np.abs(gp - gr).max() / max(np.abs(gr).max(), 1e-6)
+                )
+            print(json.dumps({
+                "shape": name, "mode": "check_tiles",
+                "max_slots": int(bell.max_blocks), "n_active": A_n,
+                "fused_bwd": bool(T * C >= 1024
+                                  or jax.default_backend() != "tpu"),
+                "fwd_max_rel": round(fwd_rel, 6),
+                "grad_max_rel": {k: round(v, 6) for k, v in rels.items()},
+                "dtype": str(act_dt.__name__),
+                "backend": jax.default_backend(),
+            }))
+            continue
 
         if args.check:
             S = int(bell.max_blocks)
