@@ -24,7 +24,9 @@ path gains are visible instead of being flattened by a dense-edge count.
 """
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -34,8 +36,41 @@ REFERENCE_CPU_EPOCHS_PER_HOUR = 4.286
 PEMS08_TRAIN_SAMPLES = 10700
 BATCH = 64
 
+# Analytic plausibility floor (VERDICT r4 #1). Round 4's recorded headline
+# (12 µs/step) was a synchronization escape on the experimental 'axon'
+# platform: jax.block_until_ready returned before the device finished, so
+# the harness timed dispatch, not compute. Guard: a full train step
+# (fwd+bwd+Adam) cannot run faster than its matmul FLOPs at the chip's
+# bf16 peak. Peak per benchmarks/roofline.py: 197 Tflop/s (TPU v5e).
+PEAK_BF16_FLOPS = 197e12
 
-def main():
+
+def _step_flop_floor(spec, batch):
+    """Lower bound on matmul FLOPs for one train step (fwd+bwd ≈ 3× fwd).
+
+    Counts only the three dominant matmul families per block (temporal
+    attention QKV+scores+context, the dense K-order Chebyshev aggregation,
+    and the pre_conv/GTU channel mixes); everything omitted only raises
+    the true floor, so `flops/PEAK` is a strict minimum step time.
+    """
+    N, T, K = spec.num_of_vertices, spec.len_input, spec.K
+    dm, dk, H = spec.d_model, spec.d_k, spec.n_heads
+    C = spec.nb_chev_filter
+    per_block = (
+        2 * T * N * (3 * H * dk)          # TAt QKV projections (d_model=N)
+        + 2 * H * T * T * dk * 2          # scores + context
+        + 2 * N * T * dm                  # pre_conv T→d_model
+        + 2 * N * (3 * K * dk) * dm       # SAt QKV projections
+        + 2 * K * N * N * dk              # SAt scores
+        + 2 * K * T * N * N * C           # cheb aggregation (dense path)
+        + 2 * K * T * N * C * C           # Θ mix
+        + 2 * N * T * C * (2 * C) * 3     # GTU convs (3 kernels)
+    )
+    fwd = batch * (spec.nb_block * per_block + 2 * N * spec.nb_block * T * C * 128)
+    return 3 * fwd  # fwd + bwd (≈2× fwd), Adam excluded (pure extra)
+
+
+def main(run_gambia: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -83,11 +118,16 @@ def main():
         .astype(np.int32)
     )
 
-    # warmup / compile
+    # warmup / compile. Sync via a HOST READ of the loss vector, not
+    # jax.block_until_ready: round 4's recorded headline was 40× above the
+    # chip's physical peak because block_until_ready failed to fence on the
+    # experimental 'axon' platform (VERDICT r4 weak #1). np.asarray forces
+    # a D2H copy of the computed values — the same sync that kept the
+    # GAMBIA rows correct (training/loop.py train_epoch's float() read).
     params, opt_state, key, losses = runner(
         params, opt_state, key, x_full, y_full, idx_plan, consts
     )
-    jax.block_until_ready(losses)
+    loss_check = float(np.asarray(losses)[-1])
 
     EPOCHS = 3
     t0 = time.perf_counter()
@@ -95,8 +135,21 @@ def main():
         params, opt_state, key, losses = runner(
             params, opt_state, key, x_full, y_full, idx_plan, consts
         )
-    jax.block_until_ready(losses)
+        loss_check = float(np.asarray(losses)[-1])  # host-read fence
     dt = (time.perf_counter() - t0) / (EPOCHS * steps_per_epoch)
+
+    # Plausibility guard: refuse to report a step time below the model's
+    # analytic matmul-FLOP floor at the chip's bf16 peak.
+    floor_s = _step_flop_floor(spec, BATCH) / PEAK_BF16_FLOPS
+    if dt < floor_s:
+        raise RuntimeError(
+            f"measured step time {dt*1e6:.1f} µs is below the analytic "
+            f"FLOP floor {floor_s*1e6:.1f} µs — the timing fence did not "
+            f"hold (synchronization escape); refusing to report. "
+            f"last loss read: {loss_check}"
+        )
+    if not np.isfinite(loss_check):
+        raise RuntimeError(f"non-finite loss {loss_check} — bench invalid")
 
     epochs_per_hour = 3600.0 / (dt * steps_per_epoch)
 
@@ -120,19 +173,26 @@ def main():
                 ),
                 "edges_per_s_per_chip": round(tp["edges_per_s_per_chip"]),
                 "windows_per_s": round(tp["windows_per_s"], 1),
-                "gambia": _gambia_rows(),
+                "gambia": _gambia_rows() if run_gambia else "skipped (--no-gambia)",
             }
         )
     )
 
 
 def _gambia_rows(epochs: int = 3):
-    """Flagship GAMBIA rows (dense + tile-resident BELL), small-N dict."""
-    import os
-    import sys
+    """Flagship GAMBIA rows (dense + tile-resident BELL), small-N dict.
 
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "benchmarks"))
+    Runs two full 3-epoch GAMBIA trainings — a deliberate cost: these rows
+    are the round's sparse-vs-dense evidence at the namesake configuration
+    and the driver records them in BENCH_r{N}.json. Skippable for quick
+    local runs with --no-gambia.
+    """
+    import os
+    import traceback
+
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    sys.path.insert(0, bench_dir)
     try:
         import gambia_bench as gb
         import jax
@@ -203,8 +263,19 @@ def _gambia_rows(epochs: int = 3):
             }
         return out
     except Exception as e:  # keep the headline line intact on any failure
+        traceback.print_exc(file=sys.stderr)
         return {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        try:
+            sys.path.remove(bench_dir)
+        except ValueError:
+            pass
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--no-gambia", action="store_true",
+        help="skip the two GAMBIA flagship trainings (quick headline only)",
+    )
+    main(run_gambia=not ap.parse_args().no_gambia)
