@@ -459,6 +459,16 @@ def _block_apply(
         # Fused Pallas temporal tail (ops/pallas/gtu_fused.py): the three
         # gated convs + time concat + fcmy in one x pass, entirely in the
         # (B, N, C, T) layout — no BCNT transposes, no HBM ``cols`` tensor.
+        from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy, supported
+
+        # Static shape gate (ADVICE r4): the fused kernel assumes stride 1
+        # and 16-aligned C/T. Unsupported shapes fall through to the XLA
+        # im2col path below instead of computing an unstrided conv
+        # (time_strides > 1) or hitting a Pallas tile-alignment error.
+        fuse_gtu = supported(
+            spec.nb_time_filter, int(spatial_gcn.shape[-1]), spec.time_strides
+        )
+    if fuse_gtu:
         from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy
 
         time_conv = gtu_fcmy(

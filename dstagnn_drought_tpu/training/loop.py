@@ -207,6 +207,19 @@ class Trainer:
                     "fuse_gtu is a dstagnn-family kernel; got "
                     f"model_name={t.model_name!r}"
                 )
+            from dstagnn_drought_tpu.ops.pallas.gtu_fused import supported
+
+            if not supported(
+                t.nb_time_filter, cfg.data.len_input, t.time_strides
+            ):
+                raise ValueError(
+                    "fuse_gtu=true but the fused GTU kernel does not "
+                    f"support nb_time_filter={t.nb_time_filter}, "
+                    f"len_input={cfg.data.len_input}, "
+                    f"time_strides={t.time_strides} (needs stride 1, "
+                    "T >= 48 and 16 | T, 16 | C) — unset fuse_gtu or use "
+                    "the default XLA im2col path"
+                )
             apply_extra["fuse_gtu"] = True
         if t.remat:
             apply_extra["remat"] = True

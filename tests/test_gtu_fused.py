@@ -137,3 +137,76 @@ def test_model_apply_parity():
             gp / scale, gr / scale, rtol=0, atol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_unsupported_shapes_fall_back(monkeypatch):
+    """fuse_gtu=True on shapes the kernel can't take (stride>1, unaligned
+    C/T) must produce the UNFUSED path's numbers, not wrong results or a
+    Pallas tile error (ADVICE r4: supported() was never consulted)."""
+    from dstagnn_drought_tpu.models.dstagnn import (
+        ModelSpec,
+        apply,
+        make_model,
+    )
+    import dstagnn_drought_tpu.ops.pallas.gtu_fused as gf
+
+    def _boom(*a, **k):  # the fused kernel must never be entered
+        raise AssertionError("gtu_fcmy called on unsupported shapes")
+
+    monkeypatch.setattr(gf, "gtu_fcmy", _boom)
+
+    rng = np.random.default_rng(11)
+    N, T = 12, 24  # T=24 < 48 → unsupported
+    spec = ModelSpec(
+        num_of_vertices=N, len_input=T, num_for_predict=4, num_of_d=2,
+        nb_block=2, in_channels=2, K=2, nb_chev_filter=16,
+        nb_time_filter=16, d_model=16, d_k=8, n_heads=2,
+    )
+    A = (rng.random((N, N)) < 0.4).astype(np.float32)
+    A = np.maximum(A, A.T)
+    np.fill_diagonal(A, 0)
+    A[0, 1] = A[1, 0] = 1
+    pa = (rng.random((N, N)) < 0.3).astype(np.float32)
+    np.fill_diagonal(pa, 1)
+    params, consts = make_model(jax.random.PRNGKey(0), spec, A, pa)
+    x = jnp.asarray(rng.normal(size=(2, N, 2, T)), jnp.float32)
+    kw = dict(spec=spec, adj_pa=consts["adj_pa"],
+              cheb_polys=consts["cheb_polys"], deterministic=True)
+    ref = apply(params, x, **kw)
+    fused = apply(params, x, fuse_gtu=True, **kw)  # silently falls back
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_trainer_rejects_unsupported_fuse_gtu(tmp_path):
+    """Trainer raises a clear ValueError when fuse_gtu=true is configured
+    on shapes the fused kernel can't take (ADVICE r4)."""
+    from dstagnn_drought_tpu.config import (
+        Config,
+        DataConfig,
+        TrainingConfig,
+    )
+    from dstagnn_drought_tpu.data.dataset import ArrayDataset, Split
+    from dstagnn_drought_tpu.training.loop import Trainer
+
+    rng = np.random.default_rng(3)
+    N, T = 8, 12  # T=12 unsupported (needs T >= 48)
+    cfg = Config(
+        data=DataConfig(num_of_vertices=N, len_input=T, num_for_predict=4,
+                        dataset_name="TOY", points_per_hour=1),
+        training=TrainingConfig(
+            in_channels=1, nb_block=1, n_heads=2, K=2, d_k=8, d_model=16,
+            nb_chev_filter=16, nb_time_filter=16, batch_size=2, epochs=1,
+            learning_rate=1e-3, num_of_hours=T, fuse_gtu=True,
+        ),
+    ).validate()
+    x = rng.normal(size=(4, N, 1, T)).astype(np.float32)
+    y = rng.normal(size=(4, N, 4)).astype(np.float32)
+    ds = ArrayDataset(train=Split(x, y), val=Split(x, y), test=Split(x, y),
+                      mean=np.zeros((1, 1, 1, 1), np.float32),
+                      std=np.ones((1, 1, 1, 1), np.float32))
+    A = np.eye(N, dtype=np.float32)
+    A[0, 1] = A[1, 0] = 1
+    with pytest.raises(ValueError, match="fuse_gtu"):
+        Trainer(cfg, dataset=ds, adj_merge=A, adj_pa=np.eye(N, dtype=np.float32),
+                experiments_root=str(tmp_path))
