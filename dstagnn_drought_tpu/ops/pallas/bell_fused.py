@@ -74,6 +74,10 @@ from dstagnn_drought_tpu.ops.block_sparse import BlockEllGraph
 
 _NEG = -1e30
 
+# c-major VMEM budget (module constant so tests can shrink it to force
+# multi-M-tile grids in interpret mode)
+C_VMEM_BUDGET = 12 * 2**20
+
 
 def _make_kernel_single():
     """Single-chunk kernel (every tile's slots fit one chunk — the banded /
@@ -296,6 +300,225 @@ def _make_kernel_chunked(n_chunks: int):
     return _kernel
 
 
+def _make_kernel_single_c(T_len: int):
+    """c-major single-chunk kernel (round 5). Features are C blocks of T
+    timesteps (M = C·T), so x enters the wrapper as a PLAIN RESHAPE of the
+    model's (B, N, C, T) and the output lands directly reshapeable to
+    (B, N, Co, T) — no kernel-boundary transposes (the round-4 profile's
+    +4.5 ms bucket) and downstream fcmy/GTU keep their preferred layouts
+    (+5.0 ms bucket). An M-tile covers a CHANNEL SUBSET, so the Θ mix is
+    accumulated across M-tiles in a persistent f32 scratch and the output
+    tile is written once at the last M-tile. The SpMM emits aggᵀ (TM, BS)
+    directly (contract dim0·dim0), killing the per-head agg.T relayout of
+    the t-major epilogue."""
+
+    def _kernel(start_ref, count_ref, src_ref,
+                k_ref, th_ref, q_hbm, bc_hbm, x_hbm,
+                o_ref,
+                q_sc, bc_sc, x_sc, w_sc, mix_sc, sem):
+        bb, j, mt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        NM = pl.num_programs(2)
+        BB, H, BS, dk = k_ref.shape
+        SC, TM = x_sc.shape[0], x_sc.shape[-1]
+        Co = th_ref.shape[-1]
+        Ct = TM // T_len                  # channels covered by this M-tile
+        start = start_ref[j]
+        count = count_ref[j]
+        inv_sqrt_dk = 1.0 / (dk ** 0.5)
+        window = pl.ds(start, SC)
+
+        def xdma(u, bi):
+            src = src_ref[start + u]
+            return pltpu.make_async_copy(
+                x_hbm.at[bb * BB + bi, pl.ds(src * BS, BS),
+                         pl.ds(mt * TM, TM)],
+                x_sc.at[u, bi], sem.at[u * BB + bi, 2])
+
+        for u in range(SC):
+            for bi in range(BB):
+                xdma(u, bi).start()
+
+        # weights are per-tile, not per-M-tile: build once at mt == 0 and
+        # reuse; the mix accumulator starts fresh at mt == 0 too
+        @pl.when(mt == 0)
+        def _():
+            mix_sc[...] = jnp.zeros_like(mix_sc)
+            bcdma = pltpu.make_async_copy(
+                bc_hbm.at[window], bc_sc, sem.at[0, 0])
+
+            def qdma(bi):
+                return pltpu.make_async_copy(
+                    q_hbm.at[bb * BB + bi, window], q_sc.at[bi],
+                    sem.at[bi, 1])
+
+            bcdma.start()
+            for bi in range(BB):
+                qdma(bi).start()
+            bcdma.wait()
+            for bi in range(BB):
+                qdma(bi).wait()
+            for bi in range(BB):
+                for h in range(H):
+                    k = k_ref[bi, h]               # (BS_tgt, dk) target rows
+                    scores = []
+                    for u in range(SC):
+                        q = q_sc[bi, u, h * dk:(h + 1) * dk]  # (dk, BS_src)
+                        s = jax.lax.dot_general(
+                            q, k,
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * inv_sqrt_dk + bc_sc[u, 0, h]  # -1e30 off-pattern
+                        scores.append(jnp.where(u < count, s, _NEG))
+                    mx = scores[0].max(axis=0, keepdims=True)
+                    for s in scores[1:]:
+                        mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
+                    es = [jnp.exp(s - mx) for s in scores]
+                    den = sum(e.sum(axis=0, keepdims=True) for e in es)
+                    inv_d = 1.0 / jnp.maximum(den, 1e-30)   # (1, BS_tgt)
+                    w_sc[bi, h] = jnp.concatenate(
+                        [bc_sc[u, 1, h] * (es[u] * inv_d)
+                         for u in range(SC)],
+                        axis=0,
+                    ).astype(w_sc.dtype)           # (SC·BS_src, BS_tgt)
+
+        for u in range(SC):
+            for bi in range(BB):
+                xdma(u, bi).wait()
+
+        for bi in range(BB):
+            x_all = x_sc[:, bi].reshape(SC * BS, TM)
+            for h in range(H):
+                aggT = jax.lax.dot_general(
+                    x_all, w_sc[bi, h],
+                    dimension_numbers=(((0,), (0,)), ((), ())),   # xᵀ·w
+                    preferred_element_type=jnp.float32,
+                )                                      # (TM, BS_tgt)
+                a2 = aggT.reshape(Ct, T_len * BS)
+                th_s = th_ref[h, pl.ds(mt * Ct, Ct)]   # (Ct, Co)
+                mix_sc[bi] += jax.lax.dot_general(
+                    th_s, a2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (Co, T·BS)
+
+        @pl.when(mt == NM - 1)
+        def _():
+            for bi in range(BB):
+                o_ref[bi] = jnp.maximum(
+                    mix_sc[bi].reshape(Co * T_len, BS).T, 0.0
+                ).astype(o_ref.dtype)
+
+    return _kernel
+
+
+def _make_kernel_chunked_c(n_chunks: int, T_len: int):
+    """c-major chunked kernel: online softmax across slot chunks (as the
+    t-major chunked kernel), aggᵀ accumulator (TM, BS) so the denominator
+    broadcast rides the lane axis, Θ mix accumulated across M-tiles (mt is
+    the innermost grid axis here, unlike the t-major chunked kernel)."""
+
+    def _kernel(start_ref, count_ref, src_ref,
+                k_ref, th_ref, q_hbm, bc_hbm, x_hbm,
+                o_ref,
+                q_sc, bc_sc, x_sc, acc_sc, m_sc, d_sc, mix_sc, sem):
+        b, j, mt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        NM = pl.num_programs(2)
+        H, BS, dk = k_ref.shape[1], k_ref.shape[2], k_ref.shape[3]
+        SC, TM = x_sc.shape[0], x_sc.shape[-1]
+        Co = th_ref.shape[-1]
+        Ct = TM // T_len
+        start = start_ref[j]
+        count = count_ref[j]
+        inv_sqrt_dk = 1.0 / (dk ** 0.5)
+
+        def chunk(c):
+            base = c * SC
+            window = pl.ds(start + base, SC)
+            qdma = pltpu.make_async_copy(
+                q_hbm.at[b, window], q_sc, sem.at[0, 0])
+            bcdma = pltpu.make_async_copy(
+                bc_hbm.at[window], bc_sc, sem.at[0, 1])
+
+            def xdma(u):
+                src = src_ref[start + base + u]
+                return pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(src * BS, BS), pl.ds(mt * TM, TM)],
+                    x_sc.at[u], sem.at[u, 2])
+
+            qdma.start()
+            bcdma.start()
+            for u in range(SC):
+                xdma(u).start()
+            qdma.wait()
+            bcdma.wait()
+            for u in range(SC):
+                xdma(u).wait()
+
+            x_all = x_sc[:].reshape(SC * BS, TM)
+            for h in range(H):
+                k = k_ref[0, h]
+                scores = []
+                for u in range(SC):
+                    q = q_sc[u, h * dk:(h + 1) * dk]       # (dk, BS_src)
+                    s = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * inv_sqrt_dk + bc_sc[u, 0, h]
+                    scores.append(jnp.where(base + u < count, s, _NEG))
+                mx = scores[0].max(axis=0, keepdims=True)
+                for s in scores[1:]:
+                    mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
+                m_prev = m_sc[h]
+                m_new = jnp.maximum(m_prev, mx)
+                scale = jnp.exp(m_prev - m_new)            # (1, BS_tgt)
+                es = [jnp.exp(s - m_new) for s in scores]
+                d_sc[h] = d_sc[h] * scale + sum(
+                    e.sum(axis=0, keepdims=True) for e in es
+                )
+                w = jnp.concatenate(
+                    [bc_sc[u, 1, h] * es[u] for u in range(SC)], axis=0
+                )                                          # (SC·BS, BS_tgt)
+                contrib = jax.lax.dot_general(
+                    x_all, w.astype(x_all.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),   # xᵀ·w
+                    preferred_element_type=jnp.float32,
+                )                                          # (TM, BS_tgt)
+                acc_sc[h] = acc_sc[h] * scale + contrib    # lane broadcast
+                m_sc[h] = m_new
+
+        m_sc[:] = jnp.full_like(m_sc, _NEG)
+        d_sc[:] = jnp.zeros_like(d_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+        @pl.when(mt == 0)
+        def _():
+            mix_sc[...] = jnp.zeros_like(mix_sc)
+
+        for c in range(n_chunks):
+            if c == 0:
+                chunk(0)
+            else:
+                pl.when(c * SC < count)(lambda c=c: chunk(c))
+
+        for h in range(H):
+            a = acc_sc[h] / jnp.maximum(d_sc[h], 1e-30)    # (TM, BS)
+            a2 = a.reshape(Ct, T_len * BS)
+            th_s = th_ref[h, pl.ds(mt * Ct, Ct)]
+            mix_sc[0] += jax.lax.dot_general(
+                th_s, a2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(mt == NM - 1)
+        def _():
+            o_ref[0] = jnp.maximum(
+                mix_sc[0].reshape(Co * T_len, BS).T, 0.0
+            ).astype(o_ref.dtype)
+
+    return _kernel
+
+
 def _resolve_interpret(interpret: bool | None) -> bool:
     """None = infer from the default backend. Callers that know the target
     platform differs from the default backend (e.g. a CPU-device mesh under a
@@ -307,7 +530,8 @@ def _resolve_interpret(interpret: bool | None) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_slots", "n_ch", "interpret"))
+                   static_argnames=("max_slots", "n_ch", "interpret",
+                                    "layout"))
 def bell_fused_forward(
     tile_start: jax.Array,  # (NJ,) int32 — scalar-prefetched slot offsets
     tile_count: jax.Array,  # (NJ,) int32 — active slots per target tile
@@ -315,17 +539,26 @@ def bell_fused_forward(
     qg: jax.Array,          # (B, A+SC-1, H·dk, BS) pre-gathered Q slots
     k: jax.Array,           # (B, H, Np, dk) K rows
     bc: jax.Array,          # (A+SC-1, 2, H, BS, BS) [bias, cheb] per slot
-    x: jax.Array,           # (B, Np, T·C) t-major features (f32/bf16)
+    x: jax.Array,           # (B, Np, T·C) t-major / (B, Np, C·T) c-major
     thetas: jax.Array,      # (H, C, Co) channel-mix weights
     max_slots: int = 1,     # static: max active slots of any target tile
     n_ch: int = 1,          # static: C (channels per t block)
     interpret: bool = False,
+    layout: str = "t",      # static: "t" (T blocks of C) | "c" (C blocks of T)
 ) -> jax.Array:
     """Fused SDDMM → neighbourhood softmax → SpMM → Θ mix → ReLU.
 
-    Returns (B, Np, T·Co) in x's dtype, t-major. One grid step per
-    (batch tile, M-tile, target tile).
+    Returns (B, Np, T·Co) t-major or (B, Np, Co·T) c-major in x's dtype.
+    One grid step per (batch tile, M-tile, target tile). The c-major
+    layout (round 5) removes every kernel-boundary feature transpose; its
+    M-tiles cover channel subsets, so the Θ mix accumulates across M-tiles
+    in scratch and each output tile is written once at the last M-tile.
     """
+    if layout == "c":
+        return _bell_fused_forward_c(
+            tile_start, tile_count, a_src, qg, k, bc, x, thetas,
+            max_slots=max_slots, n_ch=n_ch, interpret=interpret,
+        )
     B, H, Np, dk = k.shape
     NJ = tile_start.shape[0]
     BS = Np // NJ
@@ -487,6 +720,175 @@ def _gcd(a: int, b: int) -> int:
     return a
 
 
+def c_channel_pad(C: int, T: int) -> int:
+    """Smallest C' ≥ C with 128 | C'·T (the c-major lane-alignment rule:
+    M = C·T and every M-tile is a whole number of T-long channel rows, so
+    alignment must come from padding CHANNELS, with zero Θ rows)."""
+    q = 128 // _gcd(T, 128)
+    return -(-C // q) * q
+
+
+def _pick_tm_c(M: int, T_len: int, need, budget: int):
+    """Largest c-major M-tile: a divisor of M that is a whole number of
+    channels (multiple of T_len) and lane-aligned (multiple of 128)."""
+    C_tot = M // T_len
+    cands = sorted(
+        (ct * T_len for ct in range(1, C_tot + 1)
+         if C_tot % ct == 0 and (ct * T_len) % 128 == 0),
+        reverse=True,
+    )
+    for tm in cands:
+        if need(tm) <= budget:
+            return tm
+    return None
+
+
+def _bell_fused_forward_c(
+    tile_start, tile_count, a_src, qg, k, bc, x, thetas,
+    *, max_slots: int, n_ch: int, interpret: bool,
+):
+    """c-major grid/spec builder for :func:`bell_fused_forward`."""
+    B, H, Np, dk = k.shape
+    NJ = tile_start.shape[0]
+    BS = Np // NJ
+    M = x.shape[-1]
+    C, Co = n_ch, thetas.shape[-1]
+    A = a_src.shape[0]
+    T_len = M // C
+    if M % C or (M % 128) or ((Co * T_len) % 128):
+        raise ValueError(
+            f"c-major layout needs 128 | M (= C·T = {M}) and "
+            f"128 | Co·T (= {Co * T_len}); pad channels with c_channel_pad()."
+        )
+    SC = min(max_slots, 4)
+    n_chunks = -(-max_slots // SC)
+    xb = 2 if x.dtype == jnp.bfloat16 else 4
+    Mo = Co * T_len
+    budget = C_VMEM_BUDGET
+
+    if n_chunks == 1:
+        def need(bb):
+            def f(tm):
+                return (2 * bb * BS * Mo * xb         # output block
+                        + bb * Co * T_len * BS * 4    # mix accumulator
+                        + SC * bb * BS * tm * xb      # x slot buffers
+                        + SC * 2 * H * BS * BS * 4    # bias+cheb
+                        + bb * H * SC * BS * BS * xb  # cached weights
+                        + 2 * BS * tm * 4             # aggT/a2 temps
+                        + Co * T_len * BS * 4         # epilogue relayout
+                        + 2 * SC * H * BS * BS * 4    # score temps
+                        + bb * SC * H * dk * BS * 4)  # q slot buffers
+            return f
+
+        BB, TM, best = None, None, 0
+        for cand in range(1, min(B, 8) + 1):
+            if B % cand:
+                continue
+            tm = _pick_tm_c(M, T_len, need(cand), budget)
+            if tm is not None and cand * tm > best:
+                BB, TM, best = cand, tm, cand * tm
+        if TM is None:
+            raise ValueError(
+                f"bell_fused_forward (c-major): no (batch-tile, M-tile) "
+                f"split of M={M} (C={C}, T={T_len}, SC={SC}, BS={BS}, "
+                f"H={H}) fits the VMEM budget; use layout='t'."
+            )
+        NM = M // TM
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B // BB, NJ, NM),
+            in_specs=[
+                pl.BlockSpec((BB, H, BS, dk),
+                             lambda b, j, m, start, count, src: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, C, Co),
+                             lambda b, j, m, start, count, src: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # q slots
+                pl.BlockSpec(memory_space=pltpu.HBM),   # bias+cheb tiles
+                pl.BlockSpec(memory_space=pltpu.HBM),   # x
+            ],
+            out_specs=pl.BlockSpec((BB, BS, Mo),
+                                   lambda b, j, m, start, count, src:
+                                   (b, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((BB, SC, H * dk, BS), jnp.float32),
+                pltpu.VMEM((SC, 2, H, BS, BS), jnp.float32),
+                pltpu.VMEM((SC, BB, BS, TM), x.dtype),
+                pltpu.VMEM((BB, H, SC * BS, BS), x.dtype),  # cached weights
+                pltpu.VMEM((BB, Co, T_len * BS), jnp.float32),  # mix acc
+                pltpu.SemaphoreType.DMA((SC * BB, 3)),
+            ],
+        )
+        kernel = _make_kernel_single_c(T_len)
+    else:
+        def need(tm):
+            return (2 * BS * Mo * xb              # output block
+                    + Co * T_len * BS * 4         # mix accumulator
+                    + H * BS * tm * 4             # f32 aggT accumulator
+                    + SC * BS * tm * xb           # x slot buffers
+                    + SC * 2 * H * BS * BS * 4    # bias+cheb buffers
+                    + 2 * SC * H * BS * BS * 4    # score temps
+                    + SC * H * dk * BS * 4)       # q slot buffers
+
+        TM = _pick_tm_c(M, T_len, need, budget)
+        if TM is None:
+            raise ValueError(
+                f"bell_fused_forward (c-major chunked): no M-tile split of "
+                f"M={M} (C={C}, T={T_len}, SC={SC}, BS={BS}, H={H}) fits "
+                f"the VMEM budget; use layout='t'."
+            )
+        NM = M // TM
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, NJ, NM),
+            in_specs=[
+                pl.BlockSpec((1, H, BS, dk),
+                             lambda b, j, m, start, count, src: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, C, Co),
+                             lambda b, j, m, start, count, src: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # q slots
+                pl.BlockSpec(memory_space=pltpu.HBM),   # bias+cheb tiles
+                pl.BlockSpec(memory_space=pltpu.HBM),   # x
+            ],
+            out_specs=pl.BlockSpec((1, BS, Mo),
+                                   lambda b, j, m, start, count, src:
+                                   (b, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SC, H * dk, BS), jnp.float32),
+                pltpu.VMEM((SC, 2, H, BS, BS), jnp.float32),
+                pltpu.VMEM((SC, BS, TM), x.dtype),
+                pltpu.VMEM((H, TM, BS), jnp.float32),   # aggT accumulator
+                pltpu.VMEM((H, 1, BS), jnp.float32),
+                pltpu.VMEM((H, 1, BS), jnp.float32),
+                pltpu.VMEM((1, Co, T_len * BS), jnp.float32),   # mix acc
+                pltpu.SemaphoreType.DMA((SC, 3)),
+            ],
+        )
+        kernel = _make_kernel_chunked_c(n_chunks, T_len)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, Mo), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=14 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * A * (BS * BS * dk + BS * BS * M),
+            bytes_accessed=4 * B * A * H * (BS * dk + 2 * BS * BS)
+            + xb * B * A * BS * M + xb * B * Np * Mo,
+            transcendentals=B * H * A * BS * BS,
+        ),
+        interpret=interpret,
+    )(tile_start, tile_count, a_src, k, thetas, qg, bc, x)
+
+
 # ---------------------------------------------------------------------------
 # differentiable wrapper (XLA recompute backward)
 # ---------------------------------------------------------------------------
@@ -556,14 +958,15 @@ def bell_block_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
     ``meta`` is the STATIC configuration (nondiff): a ``(max_out, interpret)``
     pair where ``max_out`` sizes the fused backward's dx loop (None → the XLA
     slot-scan VJP) and ``interpret`` pins Pallas interpret mode (None → infer
-    from the default backend).
+    from the default backend). A third element may name the feature layout
+    ("t" default); the plane path is t-major only.
 
     Rectangular-aware: q/x/biasm_p/cheb_p cover all Np_src source rows while
     k (and the output) cover the Np_tgt = NJ·BS target rows described by the
     tile lists — identical when running unsharded, a strict subset per shard
     under the node-partitioned path.
     """
-    _, interp_opt = meta
+    _, interp_opt = meta[:2]
     B, H, Np_src, dk = q.shape
     NJ = tile_start.shape[0]
     BS = pattern.shape[-1]
@@ -729,7 +1132,7 @@ def _bwd(meta, res, g):
     (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
      bias_p, cheb_p, x, thetas, out,
      active_slot, src_order, src_start, src_count) = res
-    max_out, interp_opt = meta
+    max_out, interp_opt = meta[:2]
     BS = pattern.shape[-1]
     NJ, S = block_idx.shape
     NI = q.shape[2] // BS
@@ -768,10 +1171,12 @@ def bell_tiles_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
     so no (H, Np, Np) plane is ever built, traced, transposed, or scattered
     into. This is what lets the learnable graph masks live only on the edge
     support (O(active tiles) parameters instead of O(K·N²)); see
-    ``bell_cheb_conv_tiles``. ``meta`` = (max_out, interpret) as in
-    ``bell_block_out``.
+    ``bell_cheb_conv_tiles``. ``meta`` = (max_out, interpret) or
+    (max_out, interpret, layout) with layout ∈ {"t", "c"} — "c" requires
+    the fused backward (max_out set and sorted source lists present).
     """
-    _, interp_opt = meta
+    _, interp_opt = meta[:2]
+    layout = meta[2] if len(meta) > 2 else "t"
     B, H, Np_src, dk = q.shape
     BS = pattern.shape[-1]
     NI = Np_src // BS
@@ -791,7 +1196,7 @@ def bell_tiles_out(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
     return bell_fused_forward(
         tile_start, tile_count, a_src_p, qg, k, bc, x, thetas,
         max_slots=max_slots, n_ch=C,
-        interpret=_resolve_interpret(interp_opt),
+        interpret=_resolve_interpret(interp_opt), layout=layout,
     )
 
 
@@ -812,12 +1217,19 @@ def _bwd_tiles(meta, res, g):
     (tile_start, tile_count, a_src, a_tgt, block_idx, pattern, q, k,
      bias_tiles, cheb_tiles, x, thetas, out,
      active_slot, src_order, src_start, src_count) = res
-    max_out, interp_opt = meta
+    max_out, interp_opt = meta[:2]
+    layout = meta[2] if len(meta) > 2 else "t"
     if src_order is not None and max_out is not None:
         return _bwd_tiles_active(
             max_out, interp_opt, tile_start, tile_count, a_src, a_tgt,
             block_idx, pattern, q, k, bias_tiles, cheb_tiles, x, thetas,
             out, g, active_slot, src_order, src_start, src_count,
+            layout=layout,
+        )
+    if layout == "c":
+        raise ValueError(
+            "c-major bell_tiles_out requires the fused backward "
+            "(max_out set and sorted source lists present)."
         )
     S = block_idx.shape[1]
     A = a_src.shape[0]
@@ -840,7 +1252,8 @@ def _bwd_tiles(meta, res, g):
 def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
                       a_tgt, block_idx, pattern, q, k, bias_tiles,
                       cheb_tiles, x, thetas, out, g,
-                      active_slot, src_order, src_start, src_count):
+                      active_slot, src_order, src_start, src_count,
+                      layout="t"):
     """Fused-kernel backward in ACTIVE-LIST organization.
 
     The slot-organized `_bwd_core` path pays a 51 MB scatter to route K1's
@@ -867,7 +1280,9 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
     seg_t = functools.partial(
         jax.ops.segment_sum, num_segments=NJ, indices_are_sorted=True,
     )
-    gm = (jnp.asarray(g, f32) * (out > 0)).reshape(B, Np_tgt, nt, Co)
+    # the cotangent stays FLAT (B, Np_tgt, M_out) — both kernels consume it
+    # in whichever feature layout the forward produced
+    gm_flat = jnp.asarray(g, f32) * (out > 0)
 
     # softmax recompute, per active tile. Everything lives A-LEADING
     # ((A, B, H, BS, BS)) so the cross-slot segment reductions and the
@@ -906,11 +1321,11 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
         w_act.astype(x.dtype), ((0, 0), (0, S), (0, 0), (0, 0), (0, 0))
     )
     a_src_p = jnp.pad(a_src, (0, S))
-    gm_k = gm.reshape(B, Np_tgt, nt * Co).astype(x.dtype)
+    gm_k = gm_flat.astype(x.dtype)
     dA_pad, dth = bell_bwd_dA_dtheta(
         tile_start, tile_count, a_src_p,
         thetas.astype(f32), gm_k, x, w_act, S_max=S, n_ch=C,
-        interpret=interp,
+        interpret=interp, layout=layout,
     )
     dA_act = jnp.moveaxis(dA_pad[:, :A], 1, 0)          # (A, B, H, ., .)
     order_tgt = jnp.pad(a_tgt[src_order], (0, S))
@@ -919,6 +1334,7 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
         src_start, src_count, order_tgt, order_idx,
         thetas.astype(f32), gm_k, w_act,
         max_out=max_out, n_ch=C, np_src=Np_src, interpret=interp,
+        layout=layout,
     ).astype(x.dtype)
 
     # softmax backward on the active list (A-leading throughout)
@@ -1064,6 +1480,7 @@ def bell_cheb_conv_tiles(
     thetas: jax.Array,
     n_heads: int,
     d_k: int,
+    layout: str = "auto",
 ) -> jax.Array:
     """Tile-resident BELL spatial conv — the O(N·band) end-to-end path.
 
@@ -1076,6 +1493,13 @@ def bell_cheb_conv_tiles(
     zeroes every off-support mask entry AND its gradient — while eliminating
     the dense (K, N, N) mask parameters (+3× Adam state) and every
     (H, Np, Np) plane build/transpose/scatter from the train step.
+
+    ``layout`` ∈ {"auto", "c", "t"}: "c" (round 5) streams features as C
+    blocks of T — x enters as a PLAIN RESHAPE of (B, N, C, T) (channels
+    zero-padded when C·T is not lane-aligned, with zero Θ rows) and the
+    output reshapes straight to (B, N, Co, T), removing every
+    kernel-boundary transpose. "auto" picks "c" whenever the fused
+    backward is active and the output is lane-aligned.
     """
     if bell.active_src is None or bell.tile_start is None:
         raise ValueError(
@@ -1121,28 +1545,50 @@ def bell_cheb_conv_tiles(
         jnp.asarray(_NEG, f32),
     )                               # (A, H, BS, BS)
 
-    xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
-    m_step = 128 * C // _gcd(128, C)
-    M_pad = -(-(T * C) // m_step) * m_step
-    if M_pad != T * C:
-        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, M_pad - T * C)))
-
     interp = _resolve_interpret(None)
     fused_bwd = (
         bell.src_order is not None and bell.max_src_blocks > 0
         and (T * C >= 1024 or interp)
     )
+    use_c = layout == "c" or (
+        layout == "auto" and fused_bwd and (Co * T) % 128 == 0
+    )
+    if use_c and not fused_bwd:
+        raise ValueError("layout='c' requires the fused backward "
+                         "(sorted source lists on the BlockEllGraph).")
+    th = thetas.astype(f32)
+    if use_c:
+        # c-major: x is a plain reshape; lane alignment comes from padding
+        # CHANNELS (zero Θ rows → zero contribution and zero grads via the
+        # pad VJP's slice), never from fake time blocks
+        C_pad = c_channel_pad(C, T)
+        x_cm = x if C_pad == C else jnp.pad(
+            x, ((0, 0), (0, 0), (0, C_pad - C), (0, 0))
+        )
+        xm = pad_n(x_cm.reshape(B, N, C_pad * T), 1)
+        if C_pad != C:
+            th = jnp.pad(th, ((0, 0), (0, C_pad - C), (0, 0)))
+    else:
+        xm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+        m_step = 128 * C // _gcd(128, C)
+        M_pad = -(-(T * C) // m_step) * m_step
+        if M_pad != T * C:
+            xm = jnp.pad(xm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+
     out = bell_tiles_out(
-        (bell.max_src_blocks if fused_bwd else None, None),
+        (bell.max_src_blocks if fused_bwd else None, None,
+         "c" if use_c else "t"),
         bell.tile_start, bell.tile_count, bell.active_src, bell.active_tgt,
         bell.block_idx,
         (bell.pattern & bell.block_mask[:, :, None, None]).astype(f32),
-        q, k, bias_t, cheb_tiles.astype(f32), xm, thetas.astype(f32),
+        q, k, bias_t, cheb_tiles.astype(f32), xm, th,
         bell.active_slot if fused_bwd else None,
         bell.src_order if fused_bwd else None,
         bell.src_start if fused_bwd else None,
         bell.src_count if fused_bwd else None,
     )
+    if use_c:
+        return out[:, :N].reshape(B, N, Co, T).astype(x.dtype)
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
         0, 1, 3, 2
     ).astype(x.dtype)
