@@ -354,8 +354,6 @@ class BellTileShardPlan:
         referenced = int(sum(self.ns_true))
         remote = 0
         for r in range(P_):
-            lo, hi = r * NJ_loc, (r + 1) * NJ_loc
-            uniq = np.unique(self.a_src[r][: self.a_true[r]])
             # recover global ids via recv_map owner index
             owners = self.recv_map[r][: self.ns_true[r]] // self.h_max
             remote += int((owners != r).sum())
