@@ -34,7 +34,12 @@ from dstagnn_drought_tpu.ops.attention import (
     temporal_attention,
 )
 from dstagnn_drought_tpu.ops.cheb import cheb_conv_with_sat
-from dstagnn_drought_tpu.ops.gtu import conv2d_nchw, gtu
+from dstagnn_drought_tpu.ops.gtu import (
+    _IM2COL_MIN_T,
+    conv2d_nchw,
+    gtu,
+    gtu_bnct,
+)
 from dstagnn_drought_tpu.ops.graph import cheb_polynomials, scaled_laplacian
 from dstagnn_drought_tpu.ops.nn import dropout, layer_norm
 from dstagnn_drought_tpu.models import layers as L
@@ -250,6 +255,12 @@ def _block_apply(
     else:
         k1 = k2 = None
 
+    # True when spatial_gcn comes out of a pallas_call: its buffer layout
+    # is pinned row-major, so the BNCT temporal tail (which consumes
+    # (B, N, C, T) directly) wins; XLA-produced outputs keep the legacy
+    # tail where the compiler chooses layouts freely (measured: dense
+    # regressed 71.4 -> 72.2 ms with the BNCT tail forced on).
+    pinned_out = False
     if fuse_spatial and ell is None and halo is None:
         # One Pallas kernel for the whole spatial middle: pre_conv → EmbedS
         # LN → dropout → SAt SDDMM → source-axis softmax+bias → Chebyshev
@@ -259,6 +270,7 @@ def _block_apply(
         )
 
         STAt = jnp.zeros((), x.dtype)  # not materialized by the kernel
+        pinned_out = True
         spatial_gcn = fused_spatial_middle(
             TATout, x,
             pre_w=p["pre_conv"]["w"], pre_b=p["pre_conv"]["b"],
@@ -319,6 +331,7 @@ def _block_apply(
 
             mesh_, plan_ = halo
             STAt = jnp.zeros((), x.dtype)
+            pinned_out = True
             spatial_gcn = partitioned_bell_tiles_conv(
                 mesh_, SEmx, x, plan_,
                 mask_tiles=p["cheb"]["mask_tiles"],
@@ -336,6 +349,7 @@ def _block_apply(
 
             mesh_, plan_ = halo
             STAt = jnp.zeros((), x.dtype)
+            pinned_out = True
             spatial_gcn = partitioned_bell_conv(
                 mesh_, SEmx, x, plan_,
                 adj_pa=adj_pa, masks=p["cheb"]["masks"],
@@ -382,6 +396,7 @@ def _block_apply(
                 )
 
                 STAt = jnp.zeros((), x.dtype)
+                pinned_out = True
                 spatial_gcn = bell_cheb_conv_tiles(
                     x, SEmx, ell,
                     wq=p["sat"]["wq"], wk=p["sat"]["wk"],
@@ -398,6 +413,7 @@ def _block_apply(
                 )
 
                 STAt = jnp.zeros((), x.dtype)  # not materialized by the kernel
+                pinned_out = True
                 spatial_gcn = bell_cheb_conv_with_sat_pallas(
                     x, SEmx, ell,
                     wq=p["sat"]["wq"], wk=p["sat"]["wk"],
@@ -441,6 +457,7 @@ def _block_apply(
                 cheb_conv_with_sat_pallas,
             )
 
+            pinned_out = True
             spatial_gcn = cheb_conv_with_sat_pallas(
                 x, STAt, adj_pa,
                 cheb_polys=cheb_polys,
@@ -459,7 +476,7 @@ def _block_apply(
         # Fused Pallas temporal tail (ops/pallas/gtu_fused.py): the three
         # gated convs + time concat + fcmy in one x pass, entirely in the
         # (B, N, C, T) layout — no BCNT transposes, no HBM ``cols`` tensor.
-        from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy, supported
+        from dstagnn_drought_tpu.ops.pallas.gtu_fused import supported
 
         # Static shape gate (ADVICE r4): the fused kernel assumes stride 1
         # and 16-aligned C/T. Unsupported shapes fall through to the XLA
@@ -468,16 +485,39 @@ def _block_apply(
         fuse_gtu = supported(
             spec.nb_time_filter, int(spatial_gcn.shape[-1]), spec.time_strides
         )
-    if fuse_gtu:
-        from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy
+    # XLA temporal tail in (B, N, C, T) space (round 5): the same im2col
+    # matmuls as the legacy BCNT tail, minus the model-level layout round
+    # trip (B,N,C,T)→(B,C,N,T)→(B,N,T,C) per GTU per direction — and the
+    # layout-pinned Pallas output of the sparse paths feeds it directly.
+    # Long-T only (where im2col is the GTU formulation) and stride 1 (the
+    # reference's hardcoded setting, train_DSTAGNN_my.py:93).
+    tail_bnct = (
+        pinned_out
+        and not fuse_gtu
+        and spec.time_strides == 1
+        and int(spatial_gcn.shape[-1]) >= _IM2COL_MIN_T
+    )
+    if fuse_gtu or tail_bnct:
+        if fuse_gtu:
+            from dstagnn_drought_tpu.ops.pallas.gtu_fused import gtu_fcmy
 
-        time_conv = gtu_fcmy(
-            None, spatial_gcn,
-            p["gtu3"]["w"], p["gtu3"]["b"],
-            p["gtu5"]["w"], p["gtu5"]["b"],
-            p["gtu7"]["w"], p["gtu7"]["b"],
-            p["fcmy"]["w"], p["fcmy"]["b"],
-        )  # (B, N, C, T)
+            time_conv = gtu_fcmy(
+                None, spatial_gcn,
+                p["gtu3"]["w"], p["gtu3"]["b"],
+                p["gtu5"]["w"], p["gtu5"]["b"],
+                p["gtu7"]["w"], p["gtu7"]["b"],
+                p["fcmy"]["w"], p["fcmy"]["b"],
+            )  # (B, N, C, T)
+        else:
+            g = [
+                gtu_bnct(spatial_gcn, p[f"gtu{k}"]["w"], p[f"gtu{k}"]["b"],
+                         in_channels=spec.nb_time_filter)
+                for k in (3, 5, 7)
+            ]
+            cat = jnp.concatenate(g, axis=2)   # (B, N, 3T-12, C)
+            time_conv = jnp.einsum(
+                "bnmc,mt->bnct", cat, p["fcmy"]["w"]
+            ) + p["fcmy"]["b"]                 # (B, N, C, T)
         time_conv = dropout(time_conv, spec.dropout_rate, k2, deterministic)
         if F == 1:
             time_conv_output = jax.nn.relu(time_conv)

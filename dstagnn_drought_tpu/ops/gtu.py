@@ -61,6 +61,40 @@ def gtu(
     return jnp.tanh(p) * jax.nn.sigmoid(q)
 
 
+def gtu_bnct(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    in_channels: int,
+    time_strides: int = 1,
+) -> jax.Array:
+    """GTU in (B, N, C, T) space (round 5): same im2col matmul as
+    :func:`gtu`, but the activation never visits (B, C, N, T) — only the
+    innermost two axes swap for the window stack. Removes the model-level
+    layout round trip (B,N,C,T) → (B,C,N,T) → (B,N,T,C) that cost ~2 ms/step
+    per direction at GAMBIA, and lets the tiles path's layout-pinned Pallas
+    output feed the temporal tail directly.
+
+    Returns (B, N, T_out, C) — time-major for the downstream concat + fcmy
+    (the ``bnmc,mt->bnct`` einsum, same as the fused-GTU epilogue).
+    """
+    B, N, C, T = x.shape
+    k = w.shape[-1]
+    s = time_strides
+    T_out = (T - k) // s + 1
+    xt = x.transpose(0, 1, 3, 2)                       # (B, N, T, C)
+    cols = jnp.concatenate(
+        [xt[:, :, kk: kk + (T_out - 1) * s + 1: s] for kk in range(k)],
+        axis=-1,
+    )                                                  # (B, N, T_out, k·C)
+    w2 = w[:, :, 0, :].transpose(2, 1, 0).reshape(k * C, -1).astype(x.dtype)
+    y = cols @ w2 + b.astype(x.dtype)                  # (B, N, T_out, 2C)
+    p = y[..., :in_channels]
+    q = y[..., in_channels:]
+    return jnp.tanh(p) * jax.nn.sigmoid(q)
+
+
 def _conv_im2col(x, w, b, time_strides):
     """(1, k) valid conv as ONE matmul over stacked time windows.
 
