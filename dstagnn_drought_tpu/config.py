@@ -87,6 +87,12 @@ class TrainingConfig:
                                     # (precomputed boundary-row all_to_all,
                                     # parallel/graph_partition.py; requires
                                     # num_of_vertices % graph_axis == 0)
+    halo_overlap: bool = True       # tile-resident partitioned BELL: split
+                                    # each shard's tiles into local-source /
+                                    # halo-dependent sublists so local tiles
+                                    # run while the targeted all_to_all is
+                                    # in flight (parallel/bell_partition.py
+                                    # build_overlap_lists)
     remat: bool = False             # jax.checkpoint each ST block: recompute
                                     # block activations in the backward pass
                                     # instead of storing them — ~1 extra

@@ -327,18 +327,31 @@ def _block_apply(
             # backward, masks sharded over 'graph'.
             from dstagnn_drought_tpu.parallel.bell_partition import (
                 partitioned_bell_tiles_conv,
+                partitioned_bell_tiles_conv_overlap,
             )
 
-            mesh_, plan_ = halo
+            mesh_, plan_ = halo[0], halo[1]
+            ov_ = halo[2] if len(halo) > 2 else None
             STAt = jnp.zeros((), x.dtype)
             pinned_out = True
-            spatial_gcn = partitioned_bell_tiles_conv(
-                mesh_, SEmx, x, plan_,
-                mask_tiles=p["cheb"]["mask_tiles"],
-                thetas=p["cheb"]["thetas"],
-                wq=p["sat"]["wq"], wk=p["sat"]["wk"],
-                n_heads=spec.K, d_k=spec.d_k,
-            )
+            if ov_ is not None:
+                # halo/compute overlap: local-source tiles run while the
+                # targeted all_to_all is in flight (north-star claim)
+                spatial_gcn = partitioned_bell_tiles_conv_overlap(
+                    mesh_, SEmx, x, plan_, ov_,
+                    mask_tiles=p["cheb"]["mask_tiles"],
+                    thetas=p["cheb"]["thetas"],
+                    wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                    n_heads=spec.K, d_k=spec.d_k,
+                )
+            else:
+                spatial_gcn = partitioned_bell_tiles_conv(
+                    mesh_, SEmx, x, plan_,
+                    mask_tiles=p["cheb"]["mask_tiles"],
+                    thetas=p["cheb"]["thetas"],
+                    wq=p["sat"]["wq"], wk=p["sat"]["wk"],
+                    n_heads=spec.K, d_k=spec.d_k,
+                )
         elif halo is not None and isinstance(halo[1], BellShardPlan):
             # Node-partitioned BELL: each device runs the fused tile kernel
             # on its own target tiles with one all_gather of source rows

@@ -300,112 +300,124 @@ def _make_kernel_chunked(n_chunks: int):
     return _kernel
 
 
-def _make_kernel_single_c(T_len: int):
+def _make_kernel_single_c(T_len: int, NM: int):
     """c-major single-chunk kernel (round 5). Features are C blocks of T
     timesteps (M = C·T), so x enters the wrapper as a PLAIN RESHAPE of the
     model's (B, N, C, T) and the output lands directly reshapeable to
     (B, N, Co, T) — no kernel-boundary transposes (the round-4 profile's
     +4.5 ms bucket) and downstream fcmy/GTU keep their preferred layouts
-    (+5.0 ms bucket). An M-tile covers a CHANNEL SUBSET, so the Θ mix is
-    accumulated across M-tiles in a persistent f32 scratch and the output
-    tile is written once at the last M-tile. The SpMM emits aggᵀ (TM, BS)
-    directly (contract dim0·dim0), killing the per-head agg.T relayout of
-    the t-major epilogue."""
+    (+5.0 ms bucket). The SpMM emits aggᵀ (TM, BS) directly (contract
+    dim0·dim0), killing the per-head agg.T relayout of the t-major
+    epilogue.
+
+    The channel M-tiles run as an INTERNAL statically-unrolled loop with
+    double-buffered x DMAs — ONE grid step per (batch tile, target tile) —
+    instead of an M grid axis: an M-tile covers a channel subset so the Θ
+    mix needs all of them anyway, and folding them in cuts the per-grid-
+    step fixed costs (~8 µs scalar/DMA/sync, the roofline table's named
+    binding resource) by NM×. The Θ mix accumulates in f32 scratch; the
+    output tile is written once, in output-channel groups so the epilogue
+    relayout temps stay small."""
 
     def _kernel(start_ref, count_ref, src_ref,
                 k_ref, th_ref, q_hbm, bc_hbm, x_hbm,
                 o_ref,
                 q_sc, bc_sc, x_sc, w_sc, mix_sc, sem):
-        bb, j, mt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        NM = pl.num_programs(2)
+        bb, j = pl.program_id(0), pl.program_id(1)
         BB, H, BS, dk = k_ref.shape
-        SC, TM = x_sc.shape[0], x_sc.shape[-1]
+        SC, TM = x_sc.shape[1], x_sc.shape[-1]
         Co = th_ref.shape[-1]
-        Ct = TM // T_len                  # channels covered by this M-tile
+        Ct = TM // T_len                  # channels covered per M-tile
         start = start_ref[j]
         count = count_ref[j]
         inv_sqrt_dk = 1.0 / (dk ** 0.5)
         window = pl.ds(start, SC)
 
-        def xdma(u, bi):
+        def xdma(mt, u, bi):
             src = src_ref[start + u]
             return pltpu.make_async_copy(
                 x_hbm.at[bb * BB + bi, pl.ds(src * BS, BS),
                          pl.ds(mt * TM, TM)],
-                x_sc.at[u, bi], sem.at[u * BB + bi, 2])
+                x_sc.at[mt % 2, u, bi], sem.at[mt % 2, u * BB + bi, 2])
 
         for u in range(SC):
             for bi in range(BB):
-                xdma(u, bi).start()
+                xdma(0, u, bi).start()
 
-        # weights are per-tile, not per-M-tile: build once at mt == 0 and
-        # reuse; the mix accumulator starts fresh at mt == 0 too
-        @pl.when(mt == 0)
-        def _():
-            mix_sc[...] = jnp.zeros_like(mix_sc)
-            bcdma = pltpu.make_async_copy(
-                bc_hbm.at[window], bc_sc, sem.at[0, 0])
+        # per-tile work while chunk 0 streams: weights + zeroed mix acc
+        mix_sc[...] = jnp.zeros_like(mix_sc)
+        bcdma = pltpu.make_async_copy(
+            bc_hbm.at[window], bc_sc, sem.at[0, 0, 0])
 
-            def qdma(bi):
-                return pltpu.make_async_copy(
-                    q_hbm.at[bb * BB + bi, window], q_sc.at[bi],
-                    sem.at[bi, 1])
+        def qdma(bi):
+            return pltpu.make_async_copy(
+                q_hbm.at[bb * BB + bi, window], q_sc.at[bi],
+                sem.at[0, bi, 1])
 
-            bcdma.start()
-            for bi in range(BB):
-                qdma(bi).start()
-            bcdma.wait()
-            for bi in range(BB):
-                qdma(bi).wait()
-            for bi in range(BB):
-                for h in range(H):
-                    k = k_ref[bi, h]               # (BS_tgt, dk) target rows
-                    scores = []
-                    for u in range(SC):
-                        q = q_sc[bi, u, h * dk:(h + 1) * dk]  # (dk, BS_src)
-                        s = jax.lax.dot_general(
-                            q, k,
-                            dimension_numbers=(((0,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ) * inv_sqrt_dk + bc_sc[u, 0, h]  # -1e30 off-pattern
-                        scores.append(jnp.where(u < count, s, _NEG))
-                    mx = scores[0].max(axis=0, keepdims=True)
-                    for s in scores[1:]:
-                        mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
-                    es = [jnp.exp(s - mx) for s in scores]
-                    den = sum(e.sum(axis=0, keepdims=True) for e in es)
-                    inv_d = 1.0 / jnp.maximum(den, 1e-30)   # (1, BS_tgt)
-                    w_sc[bi, h] = jnp.concatenate(
-                        [bc_sc[u, 1, h] * (es[u] * inv_d)
-                         for u in range(SC)],
-                        axis=0,
-                    ).astype(w_sc.dtype)           # (SC·BS_src, BS_tgt)
-
-        for u in range(SC):
-            for bi in range(BB):
-                xdma(u, bi).wait()
-
+        bcdma.start()
         for bi in range(BB):
-            x_all = x_sc[:, bi].reshape(SC * BS, TM)
+            qdma(bi).start()
+        bcdma.wait()
+        for bi in range(BB):
+            qdma(bi).wait()
+        for bi in range(BB):
             for h in range(H):
-                aggT = jax.lax.dot_general(
-                    x_all, w_sc[bi, h],
-                    dimension_numbers=(((0,), (0,)), ((), ())),   # xᵀ·w
-                    preferred_element_type=jnp.float32,
-                )                                      # (TM, BS_tgt)
-                a2 = aggT.reshape(Ct, T_len * BS)
-                th_s = th_ref[h, pl.ds(mt * Ct, Ct)]   # (Ct, Co)
-                mix_sc[bi] += jax.lax.dot_general(
-                    th_s, a2,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (Co, T·BS)
+                k = k_ref[bi, h]               # (BS_tgt, dk) target rows
+                scores = []
+                for u in range(SC):
+                    q = q_sc[bi, u, h * dk:(h + 1) * dk]  # (dk, BS_src)
+                    s = jax.lax.dot_general(
+                        q, k,
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * inv_sqrt_dk + bc_sc[u, 0, h]  # -1e30 off-pattern
+                    scores.append(jnp.where(u < count, s, _NEG))
+                mx = scores[0].max(axis=0, keepdims=True)
+                for s in scores[1:]:
+                    mx = jnp.maximum(mx, s.max(axis=0, keepdims=True))
+                es = [jnp.exp(s - mx) for s in scores]
+                den = sum(e.sum(axis=0, keepdims=True) for e in es)
+                inv_d = 1.0 / jnp.maximum(den, 1e-30)   # (1, BS_tgt)
+                w_sc[bi, h] = jnp.concatenate(
+                    [bc_sc[u, 1, h] * (es[u] * inv_d)
+                     for u in range(SC)],
+                    axis=0,
+                ).astype(w_sc.dtype)           # (SC·BS_src, BS_tgt)
 
-        @pl.when(mt == NM - 1)
-        def _():
+        for mt in range(NM):
+            if mt + 1 < NM:
+                for u in range(SC):
+                    for bi in range(BB):
+                        xdma(mt + 1, u, bi).start()
+            for u in range(SC):
+                for bi in range(BB):
+                    xdma(mt, u, bi).wait()
             for bi in range(BB):
-                o_ref[bi] = jnp.maximum(
-                    mix_sc[bi].reshape(Co * T_len, BS).T, 0.0
+                x_all = x_sc[mt % 2, :, bi].reshape(SC * BS, TM)
+                for h in range(H):
+                    aggT = jax.lax.dot_general(
+                        x_all, w_sc[bi, h],
+                        dimension_numbers=(((0,), (0,)), ((), ())),  # xᵀ·w
+                        preferred_element_type=jnp.float32,
+                    )                                  # (TM, BS_tgt)
+                    a2 = aggT.reshape(Ct, T_len * BS)
+                    th_s = th_ref[h, mt * Ct:(mt + 1) * Ct]   # (Ct, Co)
+                    mix_sc[bi] += jax.lax.dot_general(
+                        th_s, a2,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                  # (Co, T·BS)
+
+        # epilogue in output-channel groups: (CoB, T·BS) → (CoB·T, BS) → ᵀ
+        q_gran = 128 // _gcd(T_len, 128)
+        CoB = q_gran
+        while Co % (2 * CoB) == 0 and (2 * CoB) * T_len * BS * 4 <= 2**20:
+            CoB *= 2
+        for bi in range(BB):
+            for c0 in range(0, Co, CoB):
+                seg = mix_sc[bi, c0:c0 + CoB]          # (CoB, T·BS)
+                o_ref[bi, :, c0 * T_len:(c0 + CoB) * T_len] = jnp.maximum(
+                    seg.reshape(CoB * T_len, BS).T, 0.0
                 ).astype(o_ref.dtype)
 
     return _kernel
@@ -771,22 +783,23 @@ def _bell_fused_forward_c(
             def f(tm):
                 return (2 * bb * BS * Mo * xb         # output block
                         + bb * Co * T_len * BS * 4    # mix accumulator
-                        + SC * bb * BS * tm * xb      # x slot buffers
+                        + 2 * SC * bb * BS * tm * xb  # x double buffer
                         + SC * 2 * H * BS * BS * 4    # bias+cheb
                         + bb * H * SC * BS * BS * xb  # cached weights
                         + 2 * BS * tm * 4             # aggT/a2 temps
-                        + Co * T_len * BS * 4         # epilogue relayout
                         + 2 * SC * H * BS * BS * 4    # score temps
                         + bb * SC * H * dk * BS * 4)  # q slot buffers
             return f
 
-        BB, TM, best = None, None, 0
+        BB, TM, best = None, None, (0, 0)
         for cand in range(1, min(B, 8) + 1):
             if B % cand:
                 continue
             tm = _pick_tm_c(M, T_len, need(cand), budget)
-            if tm is not None and cand * tm > best:
-                BB, TM, best = cand, tm, cand * tm
+            # amortization first (bigger batch tile = fewer grid steps),
+            # then bigger chunks (fewer, larger x DMAs)
+            if tm is not None and (cand, tm) > best:
+                BB, TM, best = cand, tm, (cand, tm)
         if TM is None:
             raise ValueError(
                 f"bell_fused_forward (c-major): no (batch-tile, M-tile) "
@@ -796,32 +809,32 @@ def _bell_fused_forward_c(
         NM = M // TM
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B // BB, NJ, NM),
+            grid=(B // BB, NJ),
             in_specs=[
                 pl.BlockSpec((BB, H, BS, dk),
-                             lambda b, j, m, start, count, src: (b, 0, j, 0),
+                             lambda b, j, start, count, src: (b, 0, j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, C, Co),
-                             lambda b, j, m, start, count, src: (0, 0, 0),
+                             lambda b, j, start, count, src: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),   # q slots
                 pl.BlockSpec(memory_space=pltpu.HBM),   # bias+cheb tiles
                 pl.BlockSpec(memory_space=pltpu.HBM),   # x
             ],
             out_specs=pl.BlockSpec((BB, BS, Mo),
-                                   lambda b, j, m, start, count, src:
-                                   (b, j, 0),
+                                   lambda b, j, start, count, src: (b, j, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((BB, SC, H * dk, BS), jnp.float32),
                 pltpu.VMEM((SC, 2, H, BS, BS), jnp.float32),
-                pltpu.VMEM((SC, BB, BS, TM), x.dtype),
+                pltpu.VMEM((2, SC, BB, BS, TM), x.dtype),   # double buffer
                 pltpu.VMEM((BB, H, SC * BS, BS), x.dtype),  # cached weights
                 pltpu.VMEM((BB, Co, T_len * BS), jnp.float32),  # mix acc
-                pltpu.SemaphoreType.DMA((SC * BB, 3)),
+                pltpu.SemaphoreType.DMA((2, SC * BB, 3)),
             ],
         )
-        kernel = _make_kernel_single_c(T_len)
+        kernel = _make_kernel_single_c(T_len, NM)
+        semantics = ("parallel", "arbitrary")
     else:
         def need(tm):
             return (2 * BS * Mo * xb              # output block
@@ -870,13 +883,14 @@ def _bell_fused_forward_c(
             ],
         )
         kernel = _make_kernel_chunked_c(n_chunks, T_len)
+        semantics = ("parallel", "arbitrary", "arbitrary")
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Np, Mo), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=14 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
@@ -1546,16 +1560,19 @@ def bell_cheb_conv_tiles(
     )                               # (A, H, BS, BS)
 
     interp = _resolve_interpret(None)
-    fused_bwd = (
-        bell.src_order is not None and bell.max_src_blocks > 0
-        and (T * C >= 1024 or interp)
-    )
+    has_lists = bell.src_order is not None and bell.max_src_blocks > 0
+    # t-major: the fused K1/K2 backward only beats the XLA slot-scan when
+    # the feature width amortizes per-tile fixed costs (measured, round 3)
+    fused_bwd = has_lists and (T * C >= 1024 or interp)
     use_c = layout == "c" or (
         layout == "auto" and fused_bwd and (Co * T) % 128 == 0
     )
-    if use_c and not fused_bwd:
-        raise ValueError("layout='c' requires the fused backward "
-                         "(sorted source lists on the BlockEllGraph).")
+    if use_c:
+        # c-major always runs the fused backward (no slot-scan variant)
+        fused_bwd = has_lists
+        if not fused_bwd:
+            raise ValueError("layout='c' requires the fused backward "
+                             "(sorted source lists on the BlockEllGraph).")
     th = thetas.astype(f32)
     if use_c:
         # c-major: x is a plain reshape; lane alignment comes from padding

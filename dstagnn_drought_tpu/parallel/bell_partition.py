@@ -141,7 +141,8 @@ def build_bell_shard_plan(
 
 def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
                                n_heads: int, d_k: int,
-                               interpret: bool | None = None):
+                               interpret: bool | None = None,
+                               check_vma: bool = False):
     """Shard_map'd fused-BELL spatial conv over the 'graph' axis.
 
     f(emb, x_tm, biasm_p, cheb_p, thetas, wq, wk) → (B, Np, nt·Co) t-major,
@@ -198,8 +199,11 @@ def make_partitioned_bell_conv(mesh: Mesh, plan: BellShardPlan,
         ),
         out_specs=node_sh,
         # pallas_call inside shard_map: the kernel's out_shape carries no
-        # varying-mesh-axes annotation, so the vma check cannot run
-        check_vma=False,
+        # varying-mesh-axes annotation, so the vma check cannot run with
+        # default settings — tests/test_bell_partition.py pins this (the
+        # check_vma knob exists so the regression test notices when a jax
+        # upgrade lets the check pass and the suppression can be dropped)
+        check_vma=check_vma,
     )
 
 
@@ -538,6 +542,7 @@ def build_bell_tile_shard_plan(
 def make_partitioned_bell_tiles_conv(
     mesh: Mesh, plan: BellTileShardPlan, n_heads: int, d_k: int,
     interpret: bool | None = None, fused_bwd: bool = True,
+    check_vma: bool = False,
 ):
     """Shard_map'd tile-resident BELL conv with the targeted block halo.
 
@@ -631,9 +636,8 @@ def make_partitioned_bell_tiles_conv(
             P(),                    # wk
         ),
         out_specs=node_sh,
-        # pallas_call inside shard_map: the kernel's out_shape carries no
-        # varying-mesh-axes annotation, so the vma check cannot run
-        check_vma=False,
+        # see make_partitioned_bell_conv: pinned by the regression test
+        check_vma=check_vma,
     )
 
 
@@ -693,6 +697,423 @@ def partitioned_bell_tiles_conv(
         jnp.asarray(plan.send_idx), jnp.asarray(plan.recv_map),
         jnp.asarray(plan.pattern_act), jnp.asarray(plan.pa_tiles),
         jnp.asarray(plan.cheb_tiles),
+        thetas.astype(jnp.float32), wq, wk,
+    )
+    return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
+        0, 1, 3, 2
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# halo/compute overlap: local-source tiles run while the exchange is in
+# flight (BASELINE.json north star: "boundary all-to-all OVERLAPPED with
+# neighborhood aggregation")
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BellTileOverlapLists:
+    """Static per-shard split of the tile list into sublist A (every source
+    block is shard-local → the kernel reads x_loc/q_loc directly, with NO
+    data dependence on the ``all_to_all``) and sublist B (at least one
+    remote source → reads the exchanged compact table). Two kernel calls
+    per shard; XLA's latency-hiding scheduler can then run A's kernel
+    between the collective's start and done.
+
+    Sublists are padded across shards by repeating tile 0 with a single
+    PAD active entry (zero pattern/cheb → the kernel's masked softmax makes
+    its weights exactly zero, so pad copies contribute nothing to any
+    gradient); ``sel*`` indexes the shard's A_loc active axis to gather
+    per-entry constants/masks, with index A_loc meaning an appended zero
+    row. ``inv_pos`` maps each true local tile to its row in
+    concat(outA, outB).
+    """
+
+    # sublist A (local sources; a_src are LOCAL block ids 0..NJ_loc-1)
+    tilesA: np.ndarray        # (P, NJA) int32 local tile ids
+    tile_startA: np.ndarray   # (P, NJA) int32
+    tile_countA: np.ndarray   # (P, NJA) int32
+    a_srcA: np.ndarray        # (P, ALA) int32
+    a_tgtA: np.ndarray        # (P, ALA) int32 (position in sublist A)
+    slotA: np.ndarray         # (P, ALA) int32
+    selA: np.ndarray          # (P, ALA) int32 into [0, A_loc]
+    block_idxA: np.ndarray    # (P, NJA, S) int32
+    patternA: np.ndarray      # (P, NJA, S, BS, BS) f32
+    src_orderA: np.ndarray    # (P, ALA) int32
+    src_startA: np.ndarray    # (P, NJ_loc) int32
+    src_countA: np.ndarray    # (P, NJ_loc) int32
+    max_outA: int
+    # sublist B (halo-dependent; a_src are COMPACT table ids)
+    tilesB: np.ndarray
+    tile_startB: np.ndarray
+    tile_countB: np.ndarray
+    a_srcB: np.ndarray
+    a_tgtB: np.ndarray
+    slotB: np.ndarray
+    selB: np.ndarray
+    block_idxB: np.ndarray
+    patternB: np.ndarray
+    src_orderB: np.ndarray
+    src_startB: np.ndarray    # (P, NS_max) int32
+    src_countB: np.ndarray
+    max_outB: int
+    # reassembly
+    inv_pos: np.ndarray       # (P, NJ_loc) int32 row in concat(A, B)
+    n_localA: tuple           # true sublist-A tile count per shard
+    exposed_blocks: tuple     # per shard: compact blocks only B waits for
+
+
+def build_overlap_lists(plan: BellTileShardPlan) -> BellTileOverlapLists:
+    """Split each shard's tile list for halo/compute overlap (static)."""
+    P_ = plan.num_shards
+    NJ_loc = plan.tiles_per_shard
+    S = plan.block_idx.shape[2]
+    BS = plan.block_size
+    H_max = plan.h_max
+
+    per_shard = []
+    for r in range(P_):
+        owners = plan.recv_map[r] // H_max          # (NS_max,)
+        slot_in_owner = plan.recv_map[r] % H_max
+        # local block id behind each LOCAL compact id
+        local_of_compact = np.where(
+            owners == r, plan.send_idx[r, r][slot_in_owner], -1
+        )
+        tilesA, tilesB = [], []
+        for j in range(NJ_loc):
+            lo = plan.tile_start[r, j]
+            cnt = plan.tile_count[r, j]
+            srcs = plan.a_src[r, lo:lo + cnt]
+            if np.all(owners[srcs] == r):
+                tilesA.append(j)
+            else:
+                tilesB.append(j)
+        # compact blocks that only sublist B actually waits for
+        b_srcs = set()
+        for j in tilesB:
+            lo = plan.tile_start[r, j]
+            b_srcs.update(plan.a_src[r, lo:lo + plan.tile_count[r, j]])
+        per_shard.append((tilesA, tilesB, local_of_compact, len(b_srcs)))
+
+    NJA = max(max(len(t[0]) for t in per_shard), 1)
+    NJB = max(max(len(t[1]) for t in per_shard), 1)
+
+    def build_side(side, NJ_sub, n_src_rows):
+        ALs = []
+        for r in range(P_):
+            tiles = per_shard[r][side]
+            ALs.append(
+                sum(int(plan.tile_count[r, j]) for j in tiles)
+                + (NJ_sub - len(tiles))      # one pad entry per pad tile
+            )
+        AL = max(max(ALs), 1)
+        t_ids = np.zeros((P_, NJ_sub), np.int32)
+        t_start = np.zeros((P_, NJ_sub), np.int32)
+        t_count = np.ones((P_, NJ_sub), np.int32)
+        a_src = np.zeros((P_, AL), np.int32)
+        a_tgt = np.zeros((P_, AL), np.int32)
+        slot = np.zeros((P_, AL), np.int32)
+        sel = np.full((P_, AL), plan.a_src.shape[1], np.int32)  # → zero row
+        bidx = np.zeros((P_, NJ_sub, S), np.int32)
+        pat = np.zeros((P_, NJ_sub, S, BS, BS), np.float32)
+        s_order = np.zeros((P_, AL), np.int32)
+        s_start = np.zeros((P_, n_src_rows), np.int32)
+        s_count = np.zeros((P_, n_src_rows), np.int32)
+        max_out = 1
+        for r in range(P_):
+            local_of_compact = per_shard[r][2]
+            tiles = per_shard[r][side]
+            pos = 0
+            for t_pos in range(NJ_sub):
+                t_start[r, t_pos] = pos
+                if t_pos < len(tiles):
+                    j = tiles[t_pos]
+                    t_ids[r, t_pos] = j
+                    lo = int(plan.tile_start[r, j])
+                    cnt = int(plan.tile_count[r, j])
+                    t_count[r, t_pos] = cnt
+                    for s in range(cnt):
+                        comp = int(plan.a_src[r, lo + s])
+                        a_src[r, pos] = (
+                            local_of_compact[comp] if side == 0 else comp
+                        )
+                        a_tgt[r, pos] = t_pos
+                        slot[r, pos] = s
+                        sel[r, pos] = lo + s
+                        pat[r, t_pos, s] = plan.pattern[r, j, s]
+                        bidx[r, t_pos, s] = a_src[r, pos]
+                        pos += 1
+                else:
+                    # pad tile: repeat tile 0's identity for k/output rows,
+                    # ONE pad active entry (zero pattern → zero weights)
+                    t_ids[r, t_pos] = t_ids[r, 0]
+                    a_src[r, pos] = 0
+                    a_tgt[r, pos] = t_pos
+                    slot[r, pos] = 0
+                    pos += 1
+            # pad the active tail past pos (a_tgt → NJ_sub scatters OOB)
+            a_tgt[r, pos:] = NJ_sub
+            # source-sorted view for the fused backward
+            n_act = pos
+            order = np.argsort(
+                a_src[r, :n_act], kind="stable"
+            ).astype(np.int32)
+            s_order[r, :n_act] = order
+            sc = np.bincount(a_src[r, :n_act], minlength=n_src_rows).astype(
+                np.int32
+            )
+            s_count[r] = sc
+            s_start[r] = np.r_[0, np.cumsum(sc)[:-1]].astype(np.int32)
+            if sc.max(initial=0) > max_out:
+                max_out = int(sc.max())
+        return (t_ids, t_start, t_count, a_src, a_tgt, slot, sel, bidx, pat,
+                s_order, s_start, s_count, max_out)
+
+    A = build_side(0, NJA, NJ_loc)
+    Bb = build_side(1, NJB, plan.ns_max)
+
+    inv_pos = np.zeros((P_, NJ_loc), np.int32)
+    for r in range(P_):
+        tilesA, tilesB = per_shard[r][0], per_shard[r][1]
+        for pos, j in enumerate(tilesA):
+            inv_pos[r, j] = pos
+        for pos, j in enumerate(tilesB):
+            inv_pos[r, j] = NJA + pos
+
+    return BellTileOverlapLists(
+        tilesA=A[0], tile_startA=A[1], tile_countA=A[2], a_srcA=A[3],
+        a_tgtA=A[4], slotA=A[5], selA=A[6], block_idxA=A[7], patternA=A[8],
+        src_orderA=A[9], src_startA=A[10], src_countA=A[11], max_outA=A[12],
+        tilesB=Bb[0], tile_startB=Bb[1], tile_countB=Bb[2], a_srcB=Bb[3],
+        a_tgtB=Bb[4], slotB=Bb[5], selB=Bb[6], block_idxB=Bb[7],
+        patternB=Bb[8], src_orderB=Bb[9], src_startB=Bb[10],
+        src_countB=Bb[11], max_outB=Bb[12],
+        inv_pos=inv_pos,
+        n_localA=tuple(len(t[0]) for t in per_shard),
+        exposed_blocks=tuple(t[3] for t in per_shard),
+    )
+
+
+def make_partitioned_bell_tiles_conv_overlap(
+    mesh: Mesh, plan: BellTileShardPlan, ov: BellTileOverlapLists,
+    n_heads: int, d_k: int,
+    interpret: bool | None = None, fused_bwd: bool = True,
+    check_vma: bool = False,
+):
+    """Overlapped variant of :func:`make_partitioned_bell_tiles_conv`:
+    sublist A's fused kernel consumes only shard-local tensors, so it has
+    no data dependence on the targeted ``all_to_all`` and XLA can schedule
+    it while the exchange is in flight; sublist B waits for the compact
+    table as before. Outputs reassemble by one row gather."""
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import bell_tiles_out
+
+    node_sh = P("data", "graph")
+    BS = plan.block_size
+    NJ_loc = plan.tiles_per_shard
+    NS_max = plan.ns_max
+    NJA = ov.tilesA.shape[1]
+    NJB = ov.tilesB.shape[1]
+
+    def local_fn(emb, x_tm, mask_l, send_idx, recv_map,
+                 pattern_act, pa_t, cheb_t,
+                 tilesA, tile_startA, tile_countA, a_srcA, a_tgtA, slotA,
+                 selA, block_idxA, patternA, src_orderA, src_startA,
+                 src_countA,
+                 tilesB, tile_startB, tile_countB, a_srcB, a_tgtB, slotB,
+                 selB, block_idxB, patternB, src_orderB, src_startB,
+                 src_countB,
+                 inv_pos, thetas, wq, wk):
+        (mask_l, send_idx, recv_map, pattern_act, pa_t, cheb_t) = (
+            mask_l[0], send_idx[0], recv_map[0], pattern_act[0], pa_t[0],
+            cheb_t[0],
+        )
+        (tilesA, tile_startA, tile_countA, a_srcA, a_tgtA, slotA, selA,
+         block_idxA, patternA, src_orderA, src_startA, src_countA) = (
+            tilesA[0], tile_startA[0], tile_countA[0], a_srcA[0], a_tgtA[0],
+            slotA[0], selA[0], block_idxA[0], patternA[0], src_orderA[0],
+            src_startA[0], src_countA[0],
+        )
+        (tilesB, tile_startB, tile_countB, a_srcB, a_tgtB, slotB, selB,
+         block_idxB, patternB, src_orderB, src_startB, src_countB) = (
+            tilesB[0], tile_startB[0], tile_countB[0], a_srcB[0], a_tgtB[0],
+            slotB[0], selB[0], block_idxB[0], patternB[0], src_orderB[0],
+            src_startB[0], src_countB[0],
+        )
+        inv_pos = inv_pos[0]
+        B = emb.shape[0]
+        f32 = jnp.float32
+        q_loc = jnp.einsum("bnd,dh->bnh", emb, wq).astype(f32)
+        k_loc = jnp.einsum("bnd,dh->bnh", emb, wk).astype(f32)
+        M = x_tm.shape[-1]
+
+        def exchange(v):
+            D = v.shape[-1]
+            blocks = v.reshape(B, NJ_loc, BS, D)
+            send = jnp.moveaxis(blocks[:, send_idx], 0, 2)
+            recv = jax.lax.all_to_all(
+                send, "graph", split_axis=0, concat_axis=0, tiled=True
+            )
+            flat = recv.reshape(-1, B, BS, D)
+            comp = flat[recv_map]
+            return jnp.moveaxis(comp, 1, 0).reshape(B, NS_max * BS, D)
+
+        def gather_entry_consts(sel, mask):
+            zrow = lambda a: jnp.concatenate(
+                [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0
+            )
+            return (zrow(pattern_act)[sel], zrow(pa_t)[sel],
+                    zrow(cheb_t)[sel], zrow(mask)[sel])
+
+        def k_for(tiles, nj_sub):
+            kb = k_loc.reshape(B, NJ_loc, BS, -1)[:, tiles]
+            return kb.reshape(B, nj_sub * BS, n_heads, d_k).transpose(
+                0, 2, 1, 3
+            )
+
+        def run(meta, tile_start, tile_count, a_src, a_tgt, block_idx,
+                pattern, q, k, sel, mask, x_src, slots, s_order, s_start,
+                s_count):
+            pat_e, pa_e, cheb_e, mask_e = gather_entry_consts(sel, mask)
+            bias_t = jnp.where(
+                pat_e[:, None],
+                (pa_e[:, None] * mask_e).astype(f32),
+                jnp.asarray(-1e30, f32),
+            )
+            return bell_tiles_out(
+                meta, tile_start, tile_count, a_src, a_tgt, block_idx,
+                pattern, q, k, bias_t, cheb_e, x_src, thetas,
+                slots, s_order, s_start, s_count,
+            )
+
+        # sublist A: LOCAL sources only — no exchange dependence
+        q_A = q_loc.reshape(B, NJ_loc * BS, n_heads, d_k).transpose(
+            0, 2, 1, 3
+        )
+        outA = run(
+            (ov.max_outA if fused_bwd else None, interpret),
+            tile_startA, tile_countA, a_srcA, a_tgtA, block_idxA, patternA,
+            q_A, k_for(tilesA, NJA), selA, mask_l, x_tm,
+            slotA if fused_bwd else None,
+            src_orderA if fused_bwd else None,
+            src_startA if fused_bwd else None,
+            src_countA if fused_bwd else None,
+        )
+
+        # sublist B: waits for the targeted exchange
+        x_c = exchange(x_tm)
+        q_c = exchange(q_loc)
+        q_B = q_c.reshape(B, NS_max * BS, n_heads, d_k).transpose(0, 2, 1, 3)
+        outB = run(
+            (ov.max_outB if fused_bwd else None, interpret),
+            tile_startB, tile_countB, a_srcB, a_tgtB, block_idxB, patternB,
+            q_B, k_for(tilesB, NJB), selB, mask_l, x_c,
+            slotB if fused_bwd else None,
+            src_orderB if fused_bwd else None,
+            src_startB if fused_bwd else None,
+            src_countB if fused_bwd else None,
+        )
+
+        Mo = outA.shape[-1]
+        cat = jnp.concatenate(
+            [outA.reshape(B, NJA, BS, Mo), outB.reshape(B, NJB, BS, Mo)],
+            axis=1,
+        )
+        return cat[:, inv_pos].reshape(B, NJ_loc * BS, Mo)
+
+    shard1 = lambda nd: P(*(("graph",) + (None,) * (nd - 1)))
+    ov_specs = tuple(
+        shard1(a.ndim) for a in (
+            ov.tilesA, ov.tile_startA, ov.tile_countA, ov.a_srcA, ov.a_tgtA,
+            ov.slotA, ov.selA, ov.block_idxA, ov.patternA, ov.src_orderA,
+            ov.src_startA, ov.src_countA,
+            ov.tilesB, ov.tile_startB, ov.tile_countB, ov.a_srcB, ov.a_tgtB,
+            ov.slotB, ov.selB, ov.block_idxB, ov.patternB, ov.src_orderB,
+            ov.src_startB, ov.src_countB,
+            ov.inv_pos,
+        )
+    )
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            node_sh,                # emb
+            node_sh,                # x_tm
+            shard1(5),              # mask_tiles
+            shard1(3),              # send_idx
+            shard1(2),              # recv_map
+            shard1(4),              # pattern_act
+            shard1(4),              # pa_tiles
+            shard1(5),              # cheb_tiles
+        ) + ov_specs + (P(), P(), P()),
+        out_specs=node_sh,
+        # see make_partitioned_bell_conv: pinned by the regression test
+        check_vma=check_vma,
+    )
+
+
+def partitioned_bell_tiles_conv_overlap(
+    mesh: Mesh,
+    emb: jax.Array,
+    x: jax.Array,
+    plan: BellTileShardPlan,
+    ov: BellTileOverlapLists,
+    *,
+    mask_tiles: jax.Array,
+    thetas: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    n_heads: int,
+    d_k: int,
+    fused_bwd: bool = True,
+) -> jax.Array:
+    """Model-facing wrapper for the overlapped targeted-halo path."""
+    B, N, C, T = x.shape
+    Np = plan.padded_nodes
+    Co = thetas.shape[-1]
+
+    def pad_n(a, axis):
+        extra = Np - a.shape[axis]
+        if extra == 0:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, extra)
+        return jnp.pad(a, pad)
+
+    emb_p = pad_n(emb, 1)
+    x_tm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+
+    def _gcd(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+
+    interpret = next(iter(mesh.devices.flat)).platform.lower() != "tpu"
+    f = make_partitioned_bell_tiles_conv_overlap(
+        mesh, plan, ov, n_heads, d_k, interpret=interpret,
+        fused_bwd=fused_bwd,
+    )
+    out = f(
+        emb_p, x_tm, mask_tiles,
+        jnp.asarray(plan.send_idx), jnp.asarray(plan.recv_map),
+        jnp.asarray(plan.pattern_act), jnp.asarray(plan.pa_tiles),
+        jnp.asarray(plan.cheb_tiles),
+        jnp.asarray(ov.tilesA), jnp.asarray(ov.tile_startA),
+        jnp.asarray(ov.tile_countA), jnp.asarray(ov.a_srcA),
+        jnp.asarray(ov.a_tgtA), jnp.asarray(ov.slotA),
+        jnp.asarray(ov.selA), jnp.asarray(ov.block_idxA),
+        jnp.asarray(ov.patternA), jnp.asarray(ov.src_orderA),
+        jnp.asarray(ov.src_startA), jnp.asarray(ov.src_countA),
+        jnp.asarray(ov.tilesB), jnp.asarray(ov.tile_startB),
+        jnp.asarray(ov.tile_countB), jnp.asarray(ov.a_srcB),
+        jnp.asarray(ov.a_tgtB), jnp.asarray(ov.slotB),
+        jnp.asarray(ov.selB), jnp.asarray(ov.block_idxB),
+        jnp.asarray(ov.patternB), jnp.asarray(ov.src_orderB),
+        jnp.asarray(ov.src_startB), jnp.asarray(ov.src_countB),
+        jnp.asarray(ov.inv_pos),
         thetas.astype(jnp.float32), wq, wk,
     )
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(

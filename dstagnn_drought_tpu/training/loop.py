@@ -232,7 +232,17 @@ class Trainer:
                 # per-shard fused backward; mask params sharded over 'graph'
                 from jax.sharding import NamedSharding, PartitionSpec as PS
 
-                apply_extra["halo"] = (mesh, self._bell_plan)
+                if t.halo_overlap:
+                    from dstagnn_drought_tpu.parallel.bell_partition import (
+                        build_overlap_lists,
+                    )
+
+                    apply_extra["halo"] = (
+                        mesh, self._bell_plan,
+                        build_overlap_lists(self._bell_plan),
+                    )
+                else:
+                    apply_extra["halo"] = (mesh, self._bell_plan)
                 mask_sh = NamedSharding(
                     mesh, PS("graph", None, None, None, None)
                 )

@@ -181,3 +181,118 @@ def test_trainer_partitioned_tiles(tmp_path):
     assert not mt.sharding.is_fully_replicated  # sharded over 'graph'
     res = tr.run()
     assert np.isfinite(res["test_loss"])
+
+
+def test_check_vma_suppression_is_still_required():
+    """Pins check_vma=False on the partitioned shard_maps (VERDICT r4 #8 /
+    ADVICE): the pallas_call inside the shard_map produces an out_shape
+    with no varying-mesh-axes annotation, so jax's vma check REJECTS the
+    otherwise-correct program. This test builds the same shard_map with
+    check_vma=True and asserts it still fails to run — when a jax upgrade
+    makes this pass, this test fails, signalling that the suppression in
+    make_partitioned_bell_tiles_conv / make_partitioned_bell_conv can be
+    dropped."""
+    from dstagnn_drought_tpu.parallel.bell_partition import (
+        build_bell_tile_shard_plan,
+        make_partitioned_bell_tiles_conv,
+        partitioned_bell_tiles_conv,
+    )
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+
+    (A, bell, pa, cheb, masks, thetas, wq, wk, x, emb, K, d_k) = _setup(11)
+    mesh = make_mesh(2, 4)
+    plan = build_bell_tile_shard_plan(bell, 4, pa, cheb)
+    mask_tiles = jnp.asarray(
+        plan.pack_active(active_tile_values(masks, bell))
+    )
+
+    import dstagnn_drought_tpu.parallel.bell_partition as bp
+
+    orig = bp.make_partitioned_bell_tiles_conv
+
+    def strict(*a, **kw):
+        kw["check_vma"] = True
+        return orig(*a, **kw)
+
+    bp.make_partitioned_bell_tiles_conv = strict
+    try:
+        with pytest.raises(Exception):
+            out = partitioned_bell_tiles_conv(
+                mesh, jnp.asarray(emb), jnp.asarray(x), plan,
+                mask_tiles=mask_tiles, thetas=jnp.asarray(thetas),
+                wq=jnp.asarray(wq), wk=jnp.asarray(wk),
+                n_heads=K, d_k=d_k,
+            )
+            jax.block_until_ready(out)
+    finally:
+        bp.make_partitioned_bell_tiles_conv = orig
+
+
+@pytest.mark.parametrize("fused_bwd", [True, False])
+def test_overlap_partitioned_matches_single_device(fused_bwd):
+    """Halo/compute-OVERLAP variant (local-source tiles run without any
+    data dependence on the all_to_all): same numbers as the single-device
+    tile path, forward and every gradient."""
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+        bell_cheb_conv_tiles,
+    )
+    from dstagnn_drought_tpu.parallel.bell_partition import (
+        build_bell_tile_shard_plan,
+        build_overlap_lists,
+        partitioned_bell_tiles_conv_overlap,
+    )
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+
+    (A, bell, pa, cheb, masks, thetas, wq, wk, x, emb, K, d_k) = _setup(4)
+    mesh = make_mesh(2, 4)
+    plan = build_bell_tile_shard_plan(bell, 4, pa, cheb)
+    ov = build_overlap_lists(plan)
+    # the split must cover every tile exactly once
+    NJ_loc = plan.tiles_per_shard
+    for r in range(4):
+        seen = sorted(
+            list(ov.tilesA[r][: ov.n_localA[r]])
+            + list(ov.tilesB[r][: NJ_loc - ov.n_localA[r]])
+        )
+        assert seen == list(range(NJ_loc))
+    tiles = build_bell_tile_constants(bell, pa, cheb)
+    mask_tiles = jnp.asarray(active_tile_values(masks, bell))
+    mask_part = jnp.asarray(plan.pack_active(np.asarray(mask_tiles)))
+
+    def single(mask_tiles, x, emb, thetas, wq, wk):
+        out = bell_cheb_conv_tiles(
+            x, emb, bell, wq=wq, wk=wk, mask_tiles=mask_tiles,
+            pattern_tiles=tiles["pattern_tiles"],
+            pa_tiles=tiles["pa_tiles"], cheb_tiles=tiles["cheb_tiles"],
+            thetas=thetas, n_heads=K, d_k=d_k, layout="t",
+        )
+        return (out * jnp.cos(out)).sum(), out
+
+    def parted(mask_part, x, emb, thetas, wq, wk):
+        out = partitioned_bell_tiles_conv_overlap(
+            mesh, emb, x, plan, ov, mask_tiles=mask_part, thetas=thetas,
+            wq=wq, wk=wk, n_heads=K, d_k=d_k, fused_bwd=fused_bwd,
+        )
+        return (out * jnp.cos(out)).sum(), out
+
+    args = (jnp.asarray(x), jnp.asarray(emb), jnp.asarray(thetas),
+            jnp.asarray(wq), jnp.asarray(wk))
+    (ls, out_s), gs = jax.value_and_grad(
+        single, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+    )(mask_tiles, *args)
+    (lp, out_p), gp = jax.value_and_grad(
+        parted, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+    )(mask_part, *args)
+
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=2e-5)
+    for a, b, name in zip(gp[1:], gs[1:], ["x", "emb", "thetas", "wq", "wk"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+    # mask grads: per-shard layout vs single-device active list
+    gm_single_part = plan.pack_active(np.asarray(gs[0]))
+    np.testing.assert_allclose(
+        np.asarray(gp[0]), gm_single_part, rtol=3e-4, atol=3e-5
+    )
