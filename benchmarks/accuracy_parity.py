@@ -13,10 +13,20 @@ metrics come from the same horizon_report code.
 Modes (run independently so the slow torch side can run in the background):
   --side data    generate + save the dataset/graphs
   --side ref     train the reference torch model (CPU), save metrics
-  --side jax     train this framework, save metrics
+  --side jax     train this framework, save metrics (--sparse for the
+                 BELL tile-resident spatial path)
   --side traj    50-step identical-weights loss-trajectory parity at
                  PEMS08 shapes (VERDICT round-1 item 1)
   --side report  merge result JSONs into a markdown table
+
+``--graphs pems04`` (round 5, VERDICT r4 #5) swaps the synthetic graphs
+for the REAL shipped PEMS04 artifacts — the directed 340-edge list
+``/root/reference/data/PEMS04/PEMS04.csv`` and the genuine
+``stag_001_PEMS04.csv`` / ``strg_001_PEMS04.csv`` STAG/STRG matrices
+(reference load path train_DSTAGNN_my.py:63-73, PEMS04 conf graph='AG' →
+adj_merge = binarized STAG, adj_pa = binarized STRG) — at N=307 with
+synthetic signals diffused over the real graph (no signals are shipped).
+Result files gain a ``_pems04real`` suffix.
 
 Reference training-loop semantics mirrored: epoch loop with shuffled batches,
 per-epoch validation, best-val checkpointing, final test with best weights
@@ -35,7 +45,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_NODES = 170
+N_NODES = 170           # rebound by --graphs pems04 (N=307)
+SUFFIX = ""             # "_pems04real" under --graphs pems04
 T_IN = 12
 T_PRED = 12
 STEPS_PER_DAY = 288  # 5-minute bins
@@ -88,11 +99,53 @@ def make_signal(rng: np.random.Generator, A: np.ndarray) -> np.ndarray:
     return np.clip(sig, 1.0, None)[:, :, None].astype(np.float64)
 
 
+def load_real_pems04_graphs():
+    """The shipped PEMS04 graph artifacts through our loaders (validated
+    against ground truth in tests/test_real_pems04.py). Returns
+    (adj_merge, adj_pa): the reference trains PEMS04 with graph='AG' so
+    adj_merge is the binarized STAG (lib/dataloader.py:5-9) and adj_pa the
+    binarized STRG (load_PA, lib/dataloader.py:11-15)."""
+    from dstagnn_drought_tpu.data.adjacency import (
+        load_stag_adjacency,
+        load_strg_adjacency,
+    )
+
+    base = "/root/reference/data/PEMS04"
+    adj_merge = load_stag_adjacency(os.path.join(base, "stag_001_PEMS04.csv"))
+    adj_pa = load_strg_adjacency(os.path.join(base, "strg_001_PEMS04.csv"))
+    return adj_merge.astype(np.float32), adj_pa.astype(np.float32)
+
+
 def build_dataset(out_dir: str):
     from dstagnn_drought_tpu.data.stag import fast_sta_matrix, sparsify
     from dstagnn_drought_tpu.data.windowing import read_and_generate_dataset
 
     rng = np.random.default_rng(SEED)
+    if SUFFIX:  # real PEMS04 graphs; synthetic signals diffused over them
+        adj_merge, adj_pa = load_real_pems04_graphs()
+        A_diff = np.maximum(adj_merge, adj_merge.T)
+        signal = make_signal(rng, A_diff)
+        d = read_and_generate_dataset(
+            "synth_PEMS04.npz", 0, 0, 1, T_PRED, points_per_hour=T_IN,
+            data=signal,
+        )
+        np.savez_compressed(
+            os.path.join(out_dir, f"parity_dataset{SUFFIX}.npz"),
+            train_x=d["train"]["x"].astype(np.float32),
+            train_y=d["train"]["target"].astype(np.float32),
+            val_x=d["val"]["x"].astype(np.float32),
+            val_y=d["val"]["target"].astype(np.float32),
+            test_x=d["test"]["x"].astype(np.float32),
+            test_y=d["test"]["target"].astype(np.float32),
+            mean=d["stats"]["_mean"], std=d["stats"]["_std"],
+            adj=adj_merge, stag=adj_pa,
+        )
+        print(
+            f"real-PEMS04 dataset: train={d['train']['x'].shape} "
+            f"adj_merge_nnz={int(adj_merge.sum())} "
+            f"adj_pa_nnz={int(adj_pa.sum())}"
+        )
+        return
     A, coords = make_graph(rng)
     signal = make_signal(rng, A)
 
@@ -122,7 +175,7 @@ def build_dataset(out_dir: str):
 
 
 def load_dataset(out_dir: str):
-    return np.load(os.path.join(out_dir, "parity_dataset.npz"))
+    return np.load(os.path.join(out_dir, f"parity_dataset{SUFFIX}.npz"))
 
 
 def batch_plan(n: int, batch: int, rng: np.random.Generator | None):
@@ -206,7 +259,7 @@ def run_ref(out_dir: str, epochs: int):
         "best_epoch": best_epoch, "best_val": best_val,
         "test_loss": test_loss, "report": report, "history": hist,
     }
-    with open(os.path.join(out_dir, "result_ref.json"), "w") as fh:
+    with open(os.path.join(out_dir, f"result_ref{SUFFIX}.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print("ref overall:", report["overall"])
 
@@ -215,7 +268,8 @@ def run_ref(out_dir: str, epochs: int):
 # ours (JAX)
 # ---------------------------------------------------------------------------
 
-def run_jax(out_dir: str, epochs: int, compute_dtype: str = "bfloat16"):
+def run_jax(out_dir: str, epochs: int, compute_dtype: str = "bfloat16",
+            sparse: bool = False):
     from dstagnn_drought_tpu.config import Config, DataConfig, TrainingConfig
     from dstagnn_drought_tpu.data.dataset import ArrayDataset, Split
     from dstagnn_drought_tpu.training.loop import Trainer
@@ -236,6 +290,8 @@ def run_jax(out_dir: str, epochs: int, compute_dtype: str = "bfloat16"):
             nb_chev_filter=32, nb_time_filter=32, batch_size=BATCH,
             epochs=epochs, learning_rate=LR, seed=SEED,
             compute_dtype=compute_dtype,
+            sparse=sparse, sparse_format="bell" if sparse else "ell",
+            use_pallas=sparse, mask_format="tiles" if sparse else "dense",
         ),
     ).validate()
     t0 = time.time()
@@ -246,13 +302,16 @@ def run_jax(out_dir: str, epochs: int, compute_dtype: str = "bfloat16"):
     )
     out = trainer.run()
     wall = time.time() - t0
+    path_tag = "-bell-tiles" if sparse else ""
     result = {
-        "side": f"dstagnn_drought_tpu-{compute_dtype}", "epochs": epochs,
+        "side": f"dstagnn_drought_tpu-{compute_dtype}{path_tag}",
+        "epochs": epochs,
         "best_epoch": out["best_epoch"], "best_val": out["best_val"],
         "test_loss": out["test_loss"], "report": out["report"],
         "wall_seconds": round(wall, 1),
     }
-    with open(os.path.join(out_dir, "result_jax.json"), "w") as fh:
+    name = f"result_jax{'_sparse' if sparse else ''}{SUFFIX}.json"
+    with open(os.path.join(out_dir, name), "w") as fh:
         json.dump(result, fh, indent=1)
     print("jax overall:", out["report"]["overall"], f"wall={wall:.0f}s")
 
@@ -360,7 +419,8 @@ def run_traj(out_dir: str, steps: int = 50, batch: int = 16):
 
 def run_report(out_dir: str):
     rows = []
-    for name in ("result_ref.json", "result_jax.json"):
+    for name in (f"result_ref{SUFFIX}.json", f"result_jax{SUFFIX}.json",
+                 f"result_jax_sparse{SUFFIX}.json"):
         p = os.path.join(out_dir, name)
         if not os.path.exists(p):
             print(f"missing {p}")
@@ -395,16 +455,23 @@ def main(argv=None):
                     choices=["data", "ref", "jax", "traj", "report"])
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--graphs", choices=["synth", "pems04"], default="synth")
+    ap.add_argument("--sparse", action="store_true",
+                    help="jax side: BELL tile-resident spatial path")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "benchmarks",
                                                       "parity_runs"))
     args = ap.parse_args(argv)
+    if args.graphs == "pems04":
+        global N_NODES, SUFFIX
+        N_NODES = 307
+        SUFFIX = "_pems04real"
     os.makedirs(args.out_dir, exist_ok=True)
     if args.side == "data":
         build_dataset(args.out_dir)
     elif args.side == "ref":
         run_ref(args.out_dir, args.epochs)
     elif args.side == "jax":
-        run_jax(args.out_dir, args.epochs)
+        run_jax(args.out_dir, args.epochs, sparse=args.sparse)
     elif args.side == "traj":
         run_traj(args.out_dir, steps=args.steps)
     else:

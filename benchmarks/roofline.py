@@ -19,6 +19,7 @@ Usage: python benchmarks/roofline.py [--iters 20]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -190,11 +191,17 @@ def main():
             rng.normal(size=(B, A_pad, H, BS, BS)), dt
         )
         a_src_p = jnp.pad(jnp.asarray(bell.active_src), (0, S_max))
-        k1 = jax.jit(lambda gm_, x_, w_: bell_bwd_dA_dtheta(
-            bell.tile_start, bell.tile_count, a_src_p,
-            thetas, gm_, x_, w_, S_max=S_max, n_ch=C,
-        ))
-        t_k1 = timeit(k1, gm, xp, w_act, iters=args.iters)
+        # layout per call: "c" (C blocks of T — what the model's auto layout
+        # uses at fused-backward shapes) vs "t"; both rows reported when the
+        # shape admits c (128 | C·T and 128 | Co·T)
+        layouts = ["t"]
+        if (C * T) % 128 == 0 and (Co * T) % 128 == 0:
+            layouts.append("c")
+        k1 = {lay: jax.jit(functools.partial(
+            lambda gm_, x_, w_, lay: bell_bwd_dA_dtheta(
+                bell.tile_start, bell.tile_count, a_src_p,
+                thetas, gm_, x_, w_, S_max=S_max, n_ch=C, layout=lay,
+            ), lay=lay)) for lay in layouts}
         NM = 1  # M-tile count (M fits one tile at these shapes)
         fl = (2 * B * H * A_n * BS * BS * M * 2       # dA SDDMM + agg SpMM
               + 2 * B * NJ * H * Co * M * BS)         # g_aggT rearrange
@@ -202,24 +209,29 @@ def main():
               + B * A_n * BS * M * xb                 # x slots
               + B * A_n * H * BS * BS * xb * NM       # w slots
               + B * A_pad * H * BS * BS * 4)          # dA out (f32)
-        report(name, "bell_bwd_K1", t_k1, fl, by, peak)
+        for lay in layouts:
+            t_k1 = timeit(k1[lay], gm, xp, w_act, iters=args.iters)
+            report(name, f"bell_bwd_K1[{lay}]", t_k1, fl, by, peak)
 
         order_tgt = jnp.pad(
             jnp.asarray(bell.active_tgt)[jnp.asarray(bell.src_order)],
             (0, S_max))
         order_idx = jnp.pad(jnp.asarray(bell.src_order), (0, S_max))
         max_out = int(bell.max_src_blocks)
-        k2 = jax.jit(lambda gm_, w_: bell_bwd_dx(
-            bell.src_start, bell.src_count, order_tgt, order_idx,
-            thetas, gm_, w_, max_out=max_out, n_ch=C, np_src=Np,
-        ))
-        t_k2 = timeit(k2, gm, w_act, iters=args.iters)
+        k2 = {lay: jax.jit(functools.partial(
+            lambda gm_, w_, lay: bell_bwd_dx(
+                bell.src_start, bell.src_count, order_tgt, order_idx,
+                thetas, gm_, w_, max_out=max_out, n_ch=C, np_src=Np,
+                layout=lay,
+            ), lay=lay)) for lay in layouts}
         fl = (2 * B * H * A_n * BS * BS * M           # w·g_agg SpMM
               + 2 * B * A_n * H * Co * M * BS / C * C)  # g_aggT per tile
         by = (B * A_n * BS * nt * Co * xb             # gm per visited tile
               + B * A_n * H * BS * BS * xb
               + B * Np * M * 4)                       # dx out (f32 acc)
-        report(name, "bell_bwd_K2_dx", t_k2, fl, by, peak)
+        for lay in layouts:
+            t_k2 = timeit(k2[lay], gm, w_act, iters=args.iters)
+            report(name, f"bell_bwd_K2_dx[{lay}]", t_k2, fl, by, peak)
 
         # GTU taps+gate+concat kernel (only defined for the long-T shapes)
         if T >= 48 and T % 16 == 0 and C % 16 == 0:

@@ -755,6 +755,54 @@ def _pick_tm_c(M: int, T_len: int, need, budget: int):
     return None
 
 
+def _c_need_single(BS, Mo, Co, T_len, SC, H, dk, xb):
+    """VMEM-estimate closure for the single-chunk c kernel (shared by the
+    spec builder and the wrapper's auto-layout feasibility probe)."""
+    def need(bb):
+        def f(tm):
+            return (2 * bb * BS * Mo * xb         # output block
+                    + bb * Co * T_len * BS * 4    # mix accumulator
+                    + 2 * SC * bb * BS * tm * xb  # x double buffer
+                    + SC * 2 * H * BS * BS * 4    # bias+cheb
+                    + bb * H * SC * BS * BS * xb  # cached weights
+                    + 2 * BS * tm * 4             # aggT/a2 temps
+                    + 2 * SC * H * BS * BS * 4    # score temps
+                    + bb * SC * H * dk * BS * 4)  # q slot buffers
+        return f
+    return need
+
+
+def _c_need_chunked(BS, Mo, Co, T_len, SC, H, dk, xb):
+    def need(tm):
+        return (2 * BS * Mo * xb              # output block
+                + Co * T_len * BS * 4         # mix accumulator
+                + H * BS * tm * 4             # f32 aggT accumulator
+                + SC * BS * tm * xb           # x slot buffers
+                + SC * 2 * H * BS * BS * 4    # bias+cheb buffers
+                + 2 * SC * H * BS * BS * 4    # score temps
+                + SC * H * dk * BS * 4)       # q slot buffers
+    return need
+
+
+def c_layout_feasible(*, B, M, n_ch, Co, max_slots, BS, H, dk, xb):
+    """True when the c-major forward has a valid (batch-tile, M-tile)
+    split under the VMEM budget — the wrapper's auto-layout probe (e.g.
+    f32 at GAMBIA-conf doubles every buffer and does NOT fit; bf16 does)."""
+    T_len = M // n_ch
+    if M % n_ch or (M % 128) or ((Co * T_len) % 128):
+        return False
+    SC = min(max_slots, 4)
+    if -(-max_slots // SC) == 1:
+        need = _c_need_single(BS, Co * T_len, Co, T_len, SC, H, dk, xb)
+        return any(
+            B % bb == 0
+            and _pick_tm_c(M, T_len, need(bb), C_VMEM_BUDGET) is not None
+            for bb in range(1, min(B, 8) + 1)
+        )
+    need = _c_need_chunked(BS, Co * T_len, Co, T_len, SC, H, dk, xb)
+    return _pick_tm_c(M, T_len, need, C_VMEM_BUDGET) is not None
+
+
 def _bell_fused_forward_c(
     tile_start, tile_count, a_src, qg, k, bc, x, thetas,
     *, max_slots: int, n_ch: int, interpret: bool,
@@ -779,18 +827,7 @@ def _bell_fused_forward_c(
     budget = C_VMEM_BUDGET
 
     if n_chunks == 1:
-        def need(bb):
-            def f(tm):
-                return (2 * bb * BS * Mo * xb         # output block
-                        + bb * Co * T_len * BS * 4    # mix accumulator
-                        + 2 * SC * bb * BS * tm * xb  # x double buffer
-                        + SC * 2 * H * BS * BS * 4    # bias+cheb
-                        + bb * H * SC * BS * BS * xb  # cached weights
-                        + 2 * BS * tm * 4             # aggT/a2 temps
-                        + 2 * SC * H * BS * BS * 4    # score temps
-                        + bb * SC * H * dk * BS * 4)  # q slot buffers
-            return f
-
+        need = _c_need_single(BS, Mo, Co, T_len, SC, H, dk, xb)
         BB, TM, best = None, None, (0, 0)
         for cand in range(1, min(B, 8) + 1):
             if B % cand:
@@ -836,15 +873,7 @@ def _bell_fused_forward_c(
         kernel = _make_kernel_single_c(T_len, NM)
         semantics = ("parallel", "arbitrary")
     else:
-        def need(tm):
-            return (2 * BS * Mo * xb              # output block
-                    + Co * T_len * BS * 4         # mix accumulator
-                    + H * BS * tm * 4             # f32 aggT accumulator
-                    + SC * BS * tm * xb           # x slot buffers
-                    + SC * 2 * H * BS * BS * 4    # bias+cheb buffers
-                    + 2 * SC * H * BS * BS * 4    # score temps
-                    + SC * H * dk * BS * 4)       # q slot buffers
-
+        need = _c_need_chunked(BS, Mo, Co, T_len, SC, H, dk, xb)
         TM = _pick_tm_c(M, T_len, need, budget)
         if TM is None:
             raise ValueError(
@@ -1564,9 +1593,19 @@ def bell_cheb_conv_tiles(
     # t-major: the fused K1/K2 backward only beats the XLA slot-scan when
     # the feature width amortizes per-tile fixed costs (measured, round 3)
     fused_bwd = has_lists and (T * C >= 1024 or interp)
-    use_c = layout == "c" or (
-        layout == "auto" and fused_bwd and (Co * T) % 128 == 0
-    )
+    if layout == "auto" and fused_bwd and (Co * T) % 128 == 0:
+        # feasibility probe: fall back to t-major when the c-major forward
+        # has no VMEM-feasible tiling at this dtype (e.g. f32 at
+        # GAMBIA-conf doubles every buffer and does not fit; bf16 does)
+        C_pad_probe = c_channel_pad(C, T)
+        use_c = c_layout_feasible(
+            B=B, M=C_pad_probe * T, n_ch=C_pad_probe, Co=Co,
+            max_slots=int(bell.max_blocks), BS=bell.block_size,
+            H=n_heads, dk=d_k,
+            xb=2 if x.dtype == jnp.bfloat16 else 4,
+        )
+    else:
+        use_c = layout == "c"
     if use_c:
         # c-major always runs the fused backward (no slot-scan variant)
         fused_bwd = has_lists
