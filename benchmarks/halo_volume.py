@@ -49,6 +49,7 @@ def main():
     )
     from dstagnn_drought_tpu.parallel.bell_partition import (
         build_bell_tile_shard_plan,
+        build_overlap_lists,
     )
 
     _, coords = gb.synth_drought()
@@ -67,10 +68,20 @@ def main():
     for P in args.shards:
         plan = build_bell_tile_shard_plan(bell, P, pa, polys)
         stats = plan.halo_stats()
+        # overlap split: tiles whose sources are all local run WHILE the
+        # exchange is in flight; only sublist B's referenced blocks are
+        # EXPOSED (waited on before any of its compute starts)
+        ov = build_overlap_lists(plan)
+        hidden = stats["referenced_blocks"] - sum(ov.exposed_blocks)
         stats.update(
             {"N": N, "block_size": args.block_size, "rcm": True,
-             "exposed_bytes_per_feature_col": stats[
-                 "targeted_exchange_blocks"] * args.block_size}
+             "local_source_tiles": sum(ov.n_localA),
+             "halo_dependent_tiles": stats["blocks_total"]
+             - sum(ov.n_localA),
+             "exposed_blocks": sum(ov.exposed_blocks),
+             "hidden_blocks": hidden,
+             "exposed_bytes_per_feature_col": sum(ov.exposed_blocks)
+             * args.block_size}
         )
         print(json.dumps(stats))
 
