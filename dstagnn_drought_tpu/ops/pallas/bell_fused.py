@@ -28,8 +28,14 @@ each attacking the dominant cost left by the previous one:
   * the **Θ channel mix and ReLU run in the kernel epilogue**: the output
     is (B, Np, T·C_out) in the compute dtype — 3× smaller than the
     per-head (B, H, Np, M) f32 intermediate, whose XLA consumer einsum
-    alone measured 3.8 ms at GAMBIA (more than the whole kernel). Features
-    are t-major (T blocks of C channels) so Θ mixes within an M-tile.
+    alone measured 3.8 ms at GAMBIA (more than the whole kernel). Two
+    feature layouts (round 5): **t-major** (T blocks of C — Θ mixes within
+    an M-tile) and **c-major** (C blocks of T — x enters as a plain
+    reshape of the model's (B, N, C, T), the output reshapes straight to
+    (B, N, Co, T), the Θ mix accumulates across channel M-tiles run as an
+    internal double-buffered loop; the wrapper's ``layout="auto"`` picks
+    c whenever the fused backward is active, 128 | Co·T, and the tiling
+    fits VMEM at the compute dtype).
 
 Two numerical tricks:
 
@@ -1309,7 +1315,13 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
     ``segment_sum``/``segment_max`` over the target-sorted list (A → NJ,
     contiguous segments), dbias IS the per-active ds (no gather), and the
     only scatter-adds left are the small per-block dq/dk accumulations
-    (A → NI/NJ on (BS, d_k) tiles)."""
+    (A → NI/NJ on (BS, d_k) tiles).
+
+    Shares the K1/K2 kernel contract with ``_bwd_core``'s fused branch but
+    in a different (A-leading) organization; their numerical lockstep is
+    pinned by tests/test_bell_tiles.py (tiles-vs-plane forward+grad parity
+    routes one side through here and the other through _bwd_core) and by
+    the on-hardware sparse_bench --check-tiles run (ADVICE r4)."""
     B, H, Np_src, dk = q.shape
     NJ, S = block_idx.shape
     BS = pattern.shape[-1]
@@ -1317,7 +1329,6 @@ def _bwd_tiles_active(max_out, interp_opt, tile_start, tile_count, a_src,
     Np_tgt = NJ * BS
     M = x.shape[-1]
     C, Co = thetas.shape[1], thetas.shape[2]
-    nt = M // C
     f32 = jnp.float32
     A = a_src.shape[0]
     seg_t = functools.partial(
