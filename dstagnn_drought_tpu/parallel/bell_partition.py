@@ -539,10 +539,73 @@ def build_bell_tile_shard_plan(
     )
 
 
+
+
+def _tiles_use_c_layout(layout, x, thetas, plan, n_heads, d_k, fused_bwd):
+    """Resolve the partitioned tile path's feature layout (mirrors the
+    single-device wrapper's auto gate: fused backward + 128 | Co·T + a
+    VMEM-feasible c tiling at the compute dtype)."""
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+        c_channel_pad,
+        c_layout_feasible,
+    )
+
+    if layout == "t":
+        return False
+    if layout == "c":
+        if not fused_bwd:
+            raise ValueError("layout='c' requires fused_bwd=True")
+        return True  # infeasible tilings raise inside the spec builder
+    if layout != "auto":
+        raise ValueError(f"unknown layout {layout!r}")
+    B, N, C, T = x.shape
+    Co = thetas.shape[-1]
+    if not fused_bwd or (Co * T) % 128:
+        return False
+    C_pad = c_channel_pad(C, T)
+    return c_layout_feasible(
+        B=B, M=C_pad * T, n_ch=C_pad, Co=Co,
+        max_slots=int(plan.block_idx.shape[2]), BS=plan.block_size,
+        H=n_heads, dk=d_k,
+        xb=2 if x.dtype == jnp.bfloat16 else 4,
+    )
+
+
+def _tiles_build_x(x, thetas, use_c, pad_n):
+    """x (B,N,C,T) + thetas → (x_flat, thetas') in the chosen layout
+    (c: plain reshape with zero-padded channels / zero Θ rows; t: t-major
+    transpose with zero fake time blocks for lane alignment)."""
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import c_channel_pad
+
+    B, N, C, T = x.shape
+
+    def _gcd(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+
+    if use_c:
+        C_pad = c_channel_pad(C, T)
+        x_cm = x if C_pad == C else jnp.pad(
+            x, ((0, 0), (0, 0), (0, C_pad - C), (0, 0))
+        )
+        xf = pad_n(x_cm.reshape(B, N, C_pad * T), 1)
+        if C_pad != C:
+            thetas = jnp.pad(thetas, ((0, 0), (0, C_pad - C), (0, 0)))
+        return xf, thetas
+    xf = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
+    m_step = 128 * C // _gcd(128, C)
+    M_pad = -(-(T * C) // m_step) * m_step
+    if M_pad != T * C:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, M_pad - T * C)))
+    return xf, thetas
+
+
 def make_partitioned_bell_tiles_conv(
     mesh: Mesh, plan: BellTileShardPlan, n_heads: int, d_k: int,
     interpret: bool | None = None, fused_bwd: bool = True,
     check_vma: bool = False,
+    layout: str = "t",
 ):
     """Shard_map'd tile-resident BELL conv with the targeted block halo.
 
@@ -602,7 +665,7 @@ def make_partitioned_bell_tiles_conv(
             jnp.asarray(-1e30, f32),
         )
         return bell_tiles_out(
-            (plan.max_out if fused_bwd else None, interpret),
+            (plan.max_out if fused_bwd else None, interpret, layout),
             tstart, tcount, asrc, atgt, bi, pat,
             q, k, bias_t, cheb_t, x_c, thetas,
             aslot if fused_bwd else None,
@@ -654,10 +717,12 @@ def partitioned_bell_tiles_conv(
     n_heads: int,
     d_k: int,
     fused_bwd: bool = True,
+    layout: str = "auto",
 ) -> jax.Array:
     """Model-facing wrapper: pads node axes to the plan's block grid, runs
     the targeted-halo shard_map with per-shard fused kernels, and returns
-    (B, N, Co, T)."""
+    (B, N, Co, T). ``layout`` as in ``bell_cheb_conv_tiles`` ("auto" picks
+    the c-major kernels whenever feasible)."""
     B, N, C, T = x.shape
     Np = plan.padded_nodes
     Co = thetas.shape[-1]
@@ -671,21 +736,14 @@ def partitioned_bell_tiles_conv(
         return jnp.pad(a, pad)
 
     emb_p = pad_n(emb, 1)
-    x_tm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
-
-    def _gcd(a, b):
-        while b:
-            a, b = b, a % b
-        return a
-
-    m_step = 128 * C // _gcd(128, C)
-    M_pad = -(-(T * C) // m_step) * m_step
-    if M_pad != T * C:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+    use_c = _tiles_use_c_layout(layout, x, thetas, plan, n_heads, d_k,
+                                fused_bwd)
+    x_tm, thetas = _tiles_build_x(x, thetas, use_c, pad_n)
 
     interpret = next(iter(mesh.devices.flat)).platform.lower() != "tpu"
     f = make_partitioned_bell_tiles_conv(
-        mesh, plan, n_heads, d_k, interpret=interpret, fused_bwd=fused_bwd
+        mesh, plan, n_heads, d_k, interpret=interpret, fused_bwd=fused_bwd,
+        layout="c" if use_c else "t",
     )
     out = f(
         emb_p, x_tm, mask_tiles,
@@ -699,6 +757,8 @@ def partitioned_bell_tiles_conv(
         jnp.asarray(plan.cheb_tiles),
         thetas.astype(jnp.float32), wq, wk,
     )
+    if use_c:
+        return out[:, :N].reshape(B, N, Co, T).astype(x.dtype)
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
         0, 1, 3, 2
     ).astype(x.dtype)
@@ -898,6 +958,7 @@ def make_partitioned_bell_tiles_conv_overlap(
     n_heads: int, d_k: int,
     interpret: bool | None = None, fused_bwd: bool = True,
     check_vma: bool = False,
+    layout: str = "t",
 ):
     """Overlapped variant of :func:`make_partitioned_bell_tiles_conv`:
     sublist A's fused kernel consumes only shard-local tensors, so it has
@@ -989,7 +1050,7 @@ def make_partitioned_bell_tiles_conv_overlap(
             0, 2, 1, 3
         )
         outA = run(
-            (ov.max_outA if fused_bwd else None, interpret),
+            (ov.max_outA if fused_bwd else None, interpret, layout),
             tile_startA, tile_countA, a_srcA, a_tgtA, block_idxA, patternA,
             q_A, k_for(tilesA, NJA), selA, mask_l, x_tm,
             slotA if fused_bwd else None,
@@ -1003,7 +1064,7 @@ def make_partitioned_bell_tiles_conv_overlap(
         q_c = exchange(q_loc)
         q_B = q_c.reshape(B, NS_max * BS, n_heads, d_k).transpose(0, 2, 1, 3)
         outB = run(
-            (ov.max_outB if fused_bwd else None, interpret),
+            (ov.max_outB if fused_bwd else None, interpret, layout),
             tile_startB, tile_countB, a_srcB, a_tgtB, block_idxB, patternB,
             q_B, k_for(tilesB, NJB), selB, mask_l, x_c,
             slotB if fused_bwd else None,
@@ -1064,6 +1125,7 @@ def partitioned_bell_tiles_conv_overlap(
     n_heads: int,
     d_k: int,
     fused_bwd: bool = True,
+    layout: str = "auto",
 ) -> jax.Array:
     """Model-facing wrapper for the overlapped targeted-halo path."""
     B, N, C, T = x.shape
@@ -1079,22 +1141,14 @@ def partitioned_bell_tiles_conv_overlap(
         return jnp.pad(a, pad)
 
     emb_p = pad_n(emb, 1)
-    x_tm = pad_n(x.transpose(0, 1, 3, 2).reshape(B, N, T * C), 1)
-
-    def _gcd(a, b):
-        while b:
-            a, b = b, a % b
-        return a
-
-    m_step = 128 * C // _gcd(128, C)
-    M_pad = -(-(T * C) // m_step) * m_step
-    if M_pad != T * C:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, M_pad - T * C)))
+    use_c = _tiles_use_c_layout(layout, x, thetas, plan, n_heads, d_k,
+                                fused_bwd)
+    x_tm, thetas = _tiles_build_x(x, thetas, use_c, pad_n)
 
     interpret = next(iter(mesh.devices.flat)).platform.lower() != "tpu"
     f = make_partitioned_bell_tiles_conv_overlap(
         mesh, plan, ov, n_heads, d_k, interpret=interpret,
-        fused_bwd=fused_bwd,
+        fused_bwd=fused_bwd, layout="c" if use_c else "t",
     )
     out = f(
         emb_p, x_tm, mask_tiles,
@@ -1116,6 +1170,8 @@ def partitioned_bell_tiles_conv_overlap(
         jnp.asarray(ov.inv_pos),
         thetas.astype(jnp.float32), wq, wk,
     )
+    if use_c:
+        return out[:, :N].reshape(B, N, Co, T).astype(x.dtype)
     return out[:, :N, : T * Co].reshape(B, N, T, Co).transpose(
         0, 1, 3, 2
     ).astype(x.dtype)

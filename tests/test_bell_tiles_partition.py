@@ -296,3 +296,80 @@ def test_overlap_partitioned_matches_single_device(fused_bwd):
     np.testing.assert_allclose(
         np.asarray(gp[0]), gm_single_part, rtol=3e-4, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_partitioned_c_layout_matches_single_device(overlap):
+    """Partitioned tile path with the c-major kernels (layout auto-picked
+    when 128 | Co·T): parity with the single-device c path, both wrappers."""
+    from dstagnn_drought_tpu.ops.pallas.bell_fused import (
+        bell_cheb_conv_tiles,
+    )
+    from dstagnn_drought_tpu.parallel.bell_partition import (
+        _tiles_use_c_layout,
+        build_bell_tile_shard_plan,
+        build_overlap_lists,
+        partitioned_bell_tiles_conv,
+        partitioned_bell_tiles_conv_overlap,
+    )
+    from dstagnn_drought_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, K, C, T, B, d_model, d_k, Co = 29, 2, 4, 8, 4, 12, 4, 16
+    A = (rng.random((n, n)) < 0.25).astype(np.float32)
+    np.fill_diagonal(A, 0)
+    bell = block_ell_from_adjacency(A, block_size=BS)
+    pa = ((rng.random((n, n)) < 0.5) & (A > 0)).astype(np.float32)
+    np.fill_diagonal(pa, 1)
+    cheb = rng.normal(size=(K, n, n)).astype(np.float32)
+    masks = rng.normal(size=(K, n, n)).astype(np.float32)
+    thetas = jnp.asarray(rng.normal(size=(K, C, Co)).astype(np.float32) * 0.3)
+    wq = jnp.asarray(rng.normal(size=(d_model, K * d_k)).astype(np.float32))
+    wk = jnp.asarray(rng.normal(size=(d_model, K * d_k)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, n, C, T)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(B, n, d_model)).astype(np.float32))
+
+    mesh = make_mesh(2, 4)
+    plan = build_bell_tile_shard_plan(bell, 4, pa, cheb)
+    assert _tiles_use_c_layout("auto", x, thetas, plan, K, d_k, True)
+    tiles = build_bell_tile_constants(bell, pa, cheb)
+    mask_tiles = jnp.asarray(active_tile_values(masks, bell))
+    mask_part = jnp.asarray(plan.pack_active(np.asarray(mask_tiles)))
+
+    def single(mask_tiles, x):
+        out = bell_cheb_conv_tiles(
+            x, emb, bell, wq=wq, wk=wk, mask_tiles=mask_tiles,
+            pattern_tiles=tiles["pattern_tiles"],
+            pa_tiles=tiles["pa_tiles"], cheb_tiles=tiles["cheb_tiles"],
+            thetas=thetas, n_heads=K, d_k=d_k, layout="c",
+        )
+        return (out * jnp.cos(out)).sum(), out
+
+    if overlap:
+        ov = build_overlap_lists(plan)
+
+        def parted(mask_part, x):
+            out = partitioned_bell_tiles_conv_overlap(
+                mesh, emb, x, plan, ov, mask_tiles=mask_part,
+                thetas=thetas, wq=wq, wk=wk, n_heads=K, d_k=d_k,
+            )
+            return (out * jnp.cos(out)).sum(), out
+    else:
+        def parted(mask_part, x):
+            out = partitioned_bell_tiles_conv(
+                mesh, emb, x, plan, mask_tiles=mask_part, thetas=thetas,
+                wq=wq, wk=wk, n_heads=K, d_k=d_k,
+            )
+            return (out * jnp.cos(out)).sum(), out
+
+    (ls, out_s), gs = jax.value_and_grad(single, argnums=(0, 1),
+                                         has_aux=True)(mask_tiles, x)
+    (lp, out_p), gp = jax.value_and_grad(parted, argnums=(0, 1),
+                                         has_aux=True)(mask_part, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=3e-4, atol=3e-5)
+    gm_single_part = plan.pack_active(np.asarray(gs[0]))
+    np.testing.assert_allclose(np.asarray(gp[0]), gm_single_part,
+                               rtol=3e-4, atol=3e-5)
